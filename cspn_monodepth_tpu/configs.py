@@ -1,0 +1,135 @@
+"""Typed dataclass configs + named configs for every BASELINE.json entry.
+
+Replaces the reference's argparse-only flag system (SURVEY.md R1, section 6
+"Config/flag system") with composable dataclasses and CLI overrides
+(`main.py --config nyu_completion_500 --set train.lr=0.005`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    modality: str = "rgbd"          # rgb | rgbd | d
+    num_iters: int = 24             # CSPN prop_time (12 or 24 headline)
+    norm_type: str = "8sum"         # 8sum | 8sum_abs
+    cspn_impl: str = "auto"         # auto | pallas | jnp
+    dtype: str = "bfloat16"         # encoder/decoder compute dtype
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "nyudepthv2"     # nyudepthv2 | kitti | synthetic
+    root: str = "/data/nyudepthv2"
+    height: int = 228
+    width: int = 304
+    num_samples: int = 500          # sparse samples (0 = none)
+    max_depth: float = 10.0         # meters (NYU); 85.0 for KITTI
+    # Augmentation (SURVEY.md section 4.4 / R10)
+    rotate_deg: float = 5.0
+    scale_max: float = 1.5
+    hflip_prob: float = 0.5
+    jitter: float = 0.2
+    num_workers: int = 8
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 8             # global batch
+    epochs: int = 40
+    steps_per_epoch: int = 0        # 0 = derive from dataset size
+    optimizer: str = "sgd"          # sgd | adam
+    lr: float = 0.01
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    lr_decay_every: int = 5         # epochs
+    lr_decay_rate: float = 0.2
+    loss: str = "masked_mse"        # masked_mse | masked_l1
+    seed: int = 0
+    checkpoint_dir: str = "/tmp/cspn_ckpt"
+    checkpoint_every: int = 1000    # steps
+    log_every: int = 50
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh: data-parallel x spatial-parallel (SURVEY.md N1/N2)."""
+    data: int = 1                   # batch-sharding axis size
+    spatial: int = 1                # H-sharding axis size (halo exchange)
+
+
+@dataclass(frozen=True)
+class Config:
+    name: str = "default"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def override(self, **dotted) -> "Config":
+        """Apply {'train.lr': 0.005}-style overrides, returning a new Config."""
+        cfg = self
+        for key, value in dotted.items():
+            parts = key.split(".")
+            if len(parts) == 1:
+                cfg = dataclasses.replace(cfg, **{parts[0]: value})
+                continue
+            section = getattr(cfg, parts[0])
+            current = getattr(section, parts[1])
+            if current is not None and not isinstance(value, type(current)):
+                value = type(current)(value)
+            cfg = dataclasses.replace(
+                cfg, **{parts[0]: dataclasses.replace(section, **{parts[1]: value})})
+        return cfg
+
+
+def _cfg(name: str, **kw) -> Config:
+    return Config(name=name).override(**kw)
+
+
+# One named config per BASELINE.json "configs" entry.
+CONFIGS: dict[str, Config] = {
+    # 1. NYU single-image inference, 12 iters, 304x228 (CPU-runnable PR1 ref)
+    "nyu_infer_304": _cfg(
+        "nyu_infer_304",
+        **{"model.num_iters": 12, "data.num_samples": 500,
+           "train.batch_size": 1}),
+    # 2. NYU depth completion, 500 samples, batch training on 1 chip
+    "nyu_completion_500": _cfg(
+        "nyu_completion_500",
+        **{"model.num_iters": 24, "data.num_samples": 500,
+           "train.batch_size": 8}),
+    # 3. KITTI 1216x352 with spatially-sharded CSPN + halo exchange, 1 host
+    "kitti_1216": _cfg(
+        "kitti_1216",
+        **{"data.dataset": "kitti", "data.root": "/data/kitti",
+           "data.height": 352, "data.width": 1216, "data.max_depth": 85.0,
+           "data.rotate_deg": 0.0, "data.scale_max": 1.0,
+           "model.num_iters": 24, "train.batch_size": 8,
+           "mesh.data": 2, "mesh.spatial": 4}),
+    # 4. NYU+KITTI mixed, 24-iter CSPN, DP across a full host (8 chips)
+    "host8_dp": _cfg(
+        "host8_dp",
+        **{"model.num_iters": 24, "train.batch_size": 64, "mesh.data": 8}),
+    # 5. Multi-host large-batch training with sharded feature maps
+    "multihost": _cfg(
+        "multihost",
+        **{"model.num_iters": 24, "train.batch_size": 256,
+           "mesh.data": 16, "mesh.spatial": 2}),
+    # Test/dev config: tiny synthetic data, CPU-runnable
+    "synthetic_tiny": _cfg(
+        "synthetic_tiny",
+        **{"data.dataset": "synthetic", "data.height": 64, "data.width": 96,
+           "data.num_samples": 50, "model.num_iters": 4,
+           "train.batch_size": 2, "train.epochs": 1,
+           "train.steps_per_epoch": 4, "model.cspn_impl": "jnp"}),
+}
+
+
+def get_config(name: str) -> Config:
+    if name not in CONFIGS:
+        raise KeyError(f"unknown config {name!r}; have {sorted(CONFIGS)}")
+    return CONFIGS[name]

@@ -1,0 +1,130 @@
+"""Input pipeline: per-host sharded batching with threaded prefetch.
+
+Replaces the reference's `torch.utils.data.DataLoader` worker pool
+(SURVEY.md section 3.5). Design:
+
+* Each host reads only its shard of the global batch
+  (`process_index`-strided), so multi-host runs scale IO linearly.
+* A thread pool decodes/augments records concurrently (h5/numpy release
+  the GIL for the heavy parts) and batches are prefetched ahead of the
+  training step so the TPU never waits on IO.
+* Shuffling is a seeded per-epoch permutation — deterministic and
+  resumable from (seed, epoch, step) alone, unlike torch's stateful
+  sampler.
+* Output batches are channels-last numpy: rgb (B, H, W, 3), depth
+  (B, H, W). Sparse sampling happens later, on device.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from collections.abc import Iterator
+
+import numpy as np
+
+
+def _stack(records: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
+    return {k: np.stack([r[k] for r in records]) for k in records[0]}
+
+
+class _PrefetchIterator:
+    """Iterates batches with a bounded background prefetch queue."""
+
+    def __init__(self, make_batch, num_batches: int, prefetch: int):
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._n = num_batches
+        self._stop = threading.Event()
+
+        def producer():
+            for i in range(num_batches):
+                if self._stop.is_set():
+                    return
+                try:
+                    self._q.put(make_batch(i))
+                except Exception as e:  # surface errors to the consumer
+                    self._q.put(e)
+                    return
+
+        self._thread = threading.Thread(target=producer, daemon=True)
+        self._thread.start()
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        for _ in range(self._n):
+            item = self._q.get()
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+    def close(self):
+        self._stop.set()
+
+
+def make_train_iterator(
+    dataset,
+    *,
+    global_batch: int,
+    epoch: int,
+    seed: int = 0,
+    num_workers: int = 8,
+    steps: int = 0,
+    process_index: int = 0,
+    process_count: int = 1,
+    prefetch: int = 4,
+):
+    """Yield this host's shard of each global batch for one epoch.
+
+    Drops the final partial batch (static shapes under jit). `steps`
+    overrides the epoch length if nonzero (e.g. tiny smoke runs).
+    """
+    n = len(dataset)
+    assert global_batch % process_count == 0
+    local_batch = global_batch // process_count
+    num_batches = steps or max(n // global_batch, 1)
+
+    rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+    perm = rng.permutation(max(n, global_batch)) % max(n, 1)
+    pool = ThreadPoolExecutor(max_workers=num_workers)
+
+    def make_batch(step: int) -> dict[str, np.ndarray]:
+        base = (step * global_batch) % max(n, 1)
+        idx = [perm[(base + process_index * local_batch + i) % len(perm)]
+               for i in range(local_batch)]
+        records = list(pool.map(lambda j: dataset.get(int(j), epoch), idx))
+        return _stack(records)
+
+    return _PrefetchIterator(make_batch, num_batches, prefetch)
+
+
+def make_eval_iterator(
+    dataset,
+    *,
+    global_batch: int,
+    num_workers: int = 8,
+    process_index: int = 0,
+    process_count: int = 1,
+    prefetch: int = 4,
+):
+    """Deterministic eval batches (padded final batch, with a `valid_image`
+    mask so metrics ignore the padding)."""
+    n = len(dataset)
+    assert global_batch % process_count == 0
+    local_batch = global_batch // process_count
+    num_batches = -(-n // global_batch)
+    pool = ThreadPoolExecutor(max_workers=num_workers)
+
+    def make_batch(step: int) -> dict[str, np.ndarray]:
+        records, valid = [], []
+        for i in range(local_batch):
+            j = step * global_batch + process_index * local_batch + i
+            records.append(dataset.get(min(j, n - 1), epoch=0))
+            valid.append(j < n)
+        batch = _stack(records)
+        # padding images get an all-invalid target => excluded from metrics
+        v = np.asarray(valid, np.float32)
+        batch["depth"] = batch["depth"] * v[:, None, None]
+        batch["valid_image"] = v
+        return batch
+
+    return _PrefetchIterator(make_batch, num_batches, prefetch)

@@ -1,0 +1,71 @@
+"""The full depth network: ResNet-50 UNet + heads + CSPN refinement.
+
+Functional equivalent of the reference model (upstream name
+`torch_resnet_cspn_nyu.py`, SURVEY.md R3-R6 and section 3.3):
+
+  input (B, H, W, 3|4)  [rgb | rgb+sparse-depth]
+    -> ResNet-50 encoder -> UpProj decoder (skip concat)
+    -> blur-depth head (1ch) + guidance head (8ch)
+    -> CSPN propagation (num_iters, optional sparse anchoring)
+    -> refined depth (B, H, W, 1)
+
+The heads and CSPN run in float32 (depth precision matters); the
+encoder/decoder compute in bfloat16 on the MXU.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cspn_monodepth_tpu.models.resnet import ResNetEncoder
+from cspn_monodepth_tpu.models.unet import UpProjDecoder
+from cspn_monodepth_tpu.ops.cspn import cspn_propagate
+
+
+class CSPNDepthNet(nn.Module):
+    """ResNet-50 UNet with CSPN refinement head.
+
+    modality: "rgb" (3ch input, monocular depth estimation) or "rgbd"
+      (4ch input with the sparse depth concatenated; the sparse map is
+      also used for CSPN anchor replacement).
+    """
+
+    modality: str = "rgbd"
+    num_iters: int = 24
+    norm_type: str = "8sum"
+    cspn_impl: str = "auto"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        if self.modality == "rgbd":
+            assert x.shape[-1] == 4, f"rgbd expects 4ch, got {x.shape}"
+            sparse_depth = x[..., 3:4].astype(jnp.float32)
+        elif self.modality == "rgb":
+            assert x.shape[-1] == 3, f"rgb expects 3ch, got {x.shape}"
+            sparse_depth = None
+        elif self.modality == "d":
+            assert x.shape[-1] == 1, f"d expects 1ch, got {x.shape}"
+            sparse_depth = x[..., 0:1].astype(jnp.float32)
+        else:
+            raise ValueError(f"unknown modality: {self.modality!r}")
+
+        h, w = x.shape[1:3]
+        skips = ResNetEncoder(dtype=self.dtype, name="encoder")(x, train=train)
+        feat = UpProjDecoder(dtype=self.dtype, name="decoder")(
+            skips, out_hw=(h, w), train=train)
+
+        # Heads in float32 (SURVEY.md R5): 1ch blur depth + 8ch guidance.
+        feat32 = feat.astype(jnp.float32)
+        blur_depth = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32,
+                             name="depth_head")(feat32)
+        guidance = nn.Conv(8, (3, 3), padding="SAME", dtype=jnp.float32,
+                           name="guidance_head")(feat32)
+
+        refined = cspn_propagate(
+            guidance, blur_depth, sparse_depth,
+            num_iters=self.num_iters, norm_type=self.norm_type,
+            impl=self.cspn_impl)
+        return refined

@@ -1,0 +1,89 @@
+"""ResNet encoder for the depth network, in Flax linen (NHWC).
+
+Functional equivalent of the reference's torchvision-style ResNet-50
+encoder (SURVEY.md R3): conv1 7x7/s2 (widened to 4 input channels for RGBD
+completion), BN+ReLU, 3x3/s2 maxpool, then bottleneck stages [3,4,6,3]
+producing /4, /8, /16, /32 features with 256/512/1024/2048 channels.
+
+TPU-first choices:
+* channels-last (NHWC) layout — XLA's native conv layout on TPU;
+* `dtype` (compute dtype) defaults to bfloat16 so convs hit the MXU at
+  full rate while params stay float32;
+* BatchNorm batch statistics are computed over the *global* (sharded)
+  batch automatically under pjit — jnp.mean over a batch-sharded array
+  lowers to a psum across the "data" mesh axis, i.e. sync-BN for free
+  (SURVEY.md section 8 "BatchNorm under DP").
+
+No ImageNet-pretrained weights are loaded: the build environment has no
+network access (SURVEY.md section 0), so training is from scratch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck with identity/projection shortcut."""
+
+    channels: int            # bottleneck width; output is 4x this
+    strides: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        conv = lambda c, k, s, name: nn.Conv(  # noqa: E731
+            c, (k, k), strides=(s, s), padding="SAME", use_bias=False,
+            dtype=self.dtype, name=name)
+        bn = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name)
+
+        residual = x
+        y = nn.relu(bn("bn1")(conv(self.channels, 1, 1, "conv1")(x)))
+        y = nn.relu(bn("bn2")(conv(self.channels, 3, self.strides, "conv2")(y)))
+        y = bn("bn3")(conv(self.channels * 4, 1, 1, "conv3")(y))
+
+        if residual.shape != y.shape:
+            residual = bn("bn_proj")(
+                conv(self.channels * 4, 1, self.strides, "conv_proj")(x))
+        return nn.relu(y + residual)
+
+
+class ResNetEncoder(nn.Module):
+    """ResNet-v1 encoder returning the skip pyramid.
+
+    Returns (stem, c1, c2, c3, c4):
+      stem: /2, 64ch (post conv1+BN+ReLU, pre-pool)
+      c1..c4: /4, /8, /16, /32 with 256/512/1024/2048 channels (ResNet-50).
+    """
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)   # ResNet-50
+    width: int = 64
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.width, (7, 7), strides=(2, 2), padding="SAME",
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+        stem = nn.relu(x)
+        x = nn.max_pool(stem, (3, 3), strides=(2, 2), padding="SAME")
+
+        skips = [stem]
+        for stage, num_blocks in enumerate(self.stage_sizes):
+            for block in range(num_blocks):
+                strides = 2 if stage > 0 and block == 0 else 1
+                x = Bottleneck(
+                    channels=self.width * (2 ** stage),
+                    strides=strides,
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_block{block}",
+                )(x, train=train)
+            skips.append(x)
+        return tuple(skips)

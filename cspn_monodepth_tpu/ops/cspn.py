@@ -1,0 +1,54 @@
+"""CSPN propagation dispatcher.
+
+`cspn_propagate` is the public op used by models. It dispatches between:
+
+* the fused multi-iteration Pallas TPU kernel (`cspn_pallas.py`) — the hot
+  path mandated by BASELINE.json (state resident in VMEM across iterations);
+* the pure-jnp `lax.scan` reference (`cspn_ref.py`) — used on CPU, in tests,
+  and as the autodiff rule for the kernel's custom VJP.
+
+Both are numerically equivalent (see tests/test_cspn_pallas.py).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from cspn_monodepth_tpu.ops.cspn_ref import cspn_propagate_ref
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def cspn_propagate(
+    guidance: jax.Array,
+    blur_depth: jax.Array,
+    sparse_depth: jax.Array | None = None,
+    *,
+    num_iters: int = 24,
+    norm_type: str = "8sum",
+    impl: str = "auto",
+) -> jax.Array:
+    """Refine blur_depth by CSPN propagation. See cspn_propagate_ref.
+
+    impl: "auto" (pallas on TPU, jnp elsewhere), "pallas", or "jnp".
+    """
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "jnp"
+    if impl == "pallas":
+        from cspn_monodepth_tpu.ops.cspn_pallas import cspn_propagate_pallas
+
+        return cspn_propagate_pallas(
+            guidance, blur_depth, sparse_depth,
+            num_iters=num_iters, norm_type=norm_type,
+        )
+    if impl == "jnp":
+        return cspn_propagate_ref(
+            guidance, blur_depth, sparse_depth,
+            num_iters=num_iters, norm_type=norm_type,
+        )
+    raise ValueError(f"unknown impl: {impl!r}")
