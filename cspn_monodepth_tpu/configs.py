@@ -15,9 +15,14 @@ from dataclasses import dataclass, field
 class ModelConfig:
     modality: str = "rgbd"          # rgb | rgbd | d
     num_iters: int = 24             # CSPN prop_time (12 or 24 headline)
-    norm_type: str = "8sum"         # 8sum | 8sum_abs
+    norm_type: str = "8sum_clamp"   # 8sum | 8sum_abs | 8sum_clamp
     cspn_impl: str = "auto"         # auto | pallas | jnp
     dtype: str = "bfloat16"         # encoder/decoder compute dtype
+    # Architecture (defaults = ResNet-50 UNet, the reference headline):
+    encoder_stages: tuple = (3, 4, 6, 3)
+    encoder_width: int = 64
+    decoder_channels: tuple = (512, 256, 128, 64)
+    decoder_out: int = 64
 
 
 @dataclass(frozen=True)
@@ -45,6 +50,8 @@ class TrainConfig:
     lr: float = 0.01
     momentum: float = 0.9
     weight_decay: float = 1e-4
+    clip_norm: float = 1.0          # global-norm grad clip (0 = off);
+                                    # framework addition, reference has none
     lr_decay_every: int = 5         # epochs
     lr_decay_rate: float = 0.2
     loss: str = "masked_mse"        # masked_mse | masked_l1
@@ -119,13 +126,18 @@ CONFIGS: dict[str, Config] = {
         "multihost",
         **{"model.num_iters": 24, "train.batch_size": 256,
            "mesh.data": 16, "mesh.spatial": 2}),
-    # Test/dev config: tiny synthetic data, CPU-runnable
+    # Test/dev config: tiny synthetic data + tiny encoder, CPU-runnable
+    # (XLA-CPU compile of the full 115M-param model takes minutes; the
+    # tiny arch keeps the test suite fast while exercising every code path)
     "synthetic_tiny": _cfg(
         "synthetic_tiny",
         **{"data.dataset": "synthetic", "data.height": 64, "data.width": 96,
            "data.num_samples": 50, "model.num_iters": 4,
            "train.batch_size": 2, "train.epochs": 1,
-           "train.steps_per_epoch": 4, "model.cspn_impl": "jnp"}),
+           "train.steps_per_epoch": 4, "model.cspn_impl": "jnp",
+           "model.encoder_stages": (1, 1, 1, 1), "model.encoder_width": 16,
+           "model.decoder_channels": (32, 24, 16, 16),
+           "model.decoder_out": 16}),
 }
 
 

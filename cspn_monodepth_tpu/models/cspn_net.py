@@ -34,9 +34,17 @@ class CSPNDepthNet(nn.Module):
 
     modality: str = "rgbd"
     num_iters: int = 24
-    norm_type: str = "8sum"
+    norm_type: str = "8sum_clamp"
     cspn_impl: str = "auto"
     dtype: jnp.dtype = jnp.bfloat16
+    encoder_stages: tuple = (3, 4, 6, 3)    # ResNet-50
+    encoder_width: int = 64
+    decoder_channels: tuple = (512, 256, 128, 64)
+    decoder_out: int = 64
+    # When set (a jax.sharding.Mesh with a "spatial" axis of size > 1), the
+    # CSPN refinement runs through the explicit shard_map halo-exchange
+    # path (parallel/halo.py) instead of relying on XLA auto-SPMD.
+    spatial_mesh: object = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
@@ -53,19 +61,38 @@ class CSPNDepthNet(nn.Module):
             raise ValueError(f"unknown modality: {self.modality!r}")
 
         h, w = x.shape[1:3]
-        skips = ResNetEncoder(dtype=self.dtype, name="encoder")(x, train=train)
-        feat = UpProjDecoder(dtype=self.dtype, name="decoder")(
+        skips = ResNetEncoder(
+            stage_sizes=tuple(self.encoder_stages),
+            width=self.encoder_width,
+            dtype=self.dtype, name="encoder")(x, train=train)
+        feat = UpProjDecoder(
+            channels=tuple(self.decoder_channels),
+            channels_out=self.decoder_out,
+            dtype=self.dtype, name="decoder")(
             skips, out_hw=(h, w), train=train)
 
         # Heads in float32 (SURVEY.md R5): 1ch blur depth + 8ch guidance.
+        # Zero-init: with "8sum_clamp" normalization the CSPN then starts
+        # as the identity map, which is what makes from-scratch training
+        # stable (no pretrained encoder is available in this environment).
         feat32 = feat.astype(jnp.float32)
         blur_depth = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32,
+                             kernel_init=nn.initializers.zeros,
                              name="depth_head")(feat32)
         guidance = nn.Conv(8, (3, 3), padding="SAME", dtype=jnp.float32,
+                           kernel_init=nn.initializers.zeros,
                            name="guidance_head")(feat32)
 
-        refined = cspn_propagate(
-            guidance, blur_depth, sparse_depth,
-            num_iters=self.num_iters, norm_type=self.norm_type,
-            impl=self.cspn_impl)
+        if self.spatial_mesh is not None:
+            from cspn_monodepth_tpu.parallel.halo import cspn_propagate_spatial
+
+            refined = cspn_propagate_spatial(
+                guidance, blur_depth, sparse_depth,
+                mesh=self.spatial_mesh, num_iters=self.num_iters,
+                norm_type=self.norm_type)
+        else:
+            refined = cspn_propagate(
+                guidance, blur_depth, sparse_depth,
+                num_iters=self.num_iters, norm_type=self.norm_type,
+                impl=self.cspn_impl)
         return refined

@@ -75,8 +75,9 @@ class UpProjDecoder(nn.Module):
     def __call__(self, skips, out_hw: tuple[int, int], train: bool = False):
         stem, c1, c2, c3, c4 = skips
 
-        # Bottleneck 2048 -> 1024 (SURVEY.md section 3.3).
-        x = nn.Conv(1024, (3, 3), padding="SAME", use_bias=False,
+        # Bottleneck halving the deepest width: 2048 -> 1024 for ResNet-50
+        # (SURVEY.md section 3.3); scales with the encoder width.
+        x = nn.Conv(c4.shape[-1] // 2, (3, 3), padding="SAME", use_bias=False,
                     dtype=self.dtype, name="bottleneck")(c4)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bottleneck_bn")(x)

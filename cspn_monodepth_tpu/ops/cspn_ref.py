@@ -38,8 +38,17 @@ def normalize_affinity(guidance: jax.Array, norm_type: str = "8sum",
 
     Args:
       guidance: raw affinities g-hat, shape (..., 8).
-      norm_type: "8sum" (signed, divide by abs-sum) or "8sum_abs"
-        (non-negative, use |g-hat|).
+      norm_type:
+        "8sum": signed, divide by abs-sum — the paper/reference norm.
+        "8sum_abs": non-negative, use |g-hat|.
+        "8sum_clamp": signed, divide by max(abs-sum, 1). Identical to
+          "8sum" whenever sum|g-hat| >= 1; below that the raw affinities
+          pass through unscaled, so g-hat -> 0 gives a smooth identity
+          propagation with unit-scale gradients. This is the framework's
+          training default: "8sum" with a zero/small-init guidance head
+          either explodes (gate = g/eps) or is expansive under random
+          signed gates, which is why the reference needs a pretrained
+          encoder to train stably; "8sum_clamp" trains from scratch.
       eps: guard for the abs-sum denominator (upstream divides
         unconditionally; we clamp at eps).
 
@@ -51,10 +60,11 @@ def normalize_affinity(guidance: jax.Array, norm_type: str = "8sum",
     """
     if norm_type == "8sum_abs":
         guidance = jnp.abs(guidance)
-    elif norm_type != "8sum":
+    elif norm_type not in ("8sum", "8sum_clamp"):
         raise ValueError(f"unknown norm_type: {norm_type!r}")
     abs_sum = jnp.sum(jnp.abs(guidance), axis=-1, keepdims=True)
-    gate = guidance / jnp.maximum(abs_sum, eps)
+    floor = 1.0 if norm_type == "8sum_clamp" else eps
+    gate = guidance / jnp.maximum(abs_sum, floor)
     gate_center = 1.0 - jnp.sum(gate, axis=-1, keepdims=True)
     return gate, gate_center
 

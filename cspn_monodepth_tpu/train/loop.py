@@ -1,0 +1,285 @@
+"""Training / evaluation driver (SURVEY.md R2, section 3.1-3.2).
+
+Mirrors the reference's `main.py: main()/train()/validate()` behavior —
+epoch loop, per-batch step, metric accumulation, CSV rows, checkpoint/best
+bookkeeping — redesigned TPU-first:
+
+* ONE jit-compiled train step: device-side sparse sampling, forward
+  (bf16 MXU), masked loss, backward, optimizer update, metric sums —
+  state donated, no host round-trips inside an epoch.
+* All arrays live on a ("data", "spatial") mesh; the batch is sharded over
+  "data" (DP) and params are replicated. Gradient all-reduce and sync-BN
+  are inserted by XLA automatically.
+* Eval accumulates MetricSums on device (psum-reducible across hosts) and
+  finalizes once per epoch on host.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cspn_monodepth_tpu.configs import Config
+from cspn_monodepth_tpu.data.datasets import make_dataset
+from cspn_monodepth_tpu.data.pipeline import make_eval_iterator, make_train_iterator
+from cspn_monodepth_tpu.models import CSPNDepthNet
+from cspn_monodepth_tpu.ops import uniform_sparse_sample
+from cspn_monodepth_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from cspn_monodepth_tpu.train.checkpoint import CheckpointManager, abstract_state_of
+from cspn_monodepth_tpu.train.loss import get_loss_fn
+from cspn_monodepth_tpu.train.metrics import (
+    AverageMeter,
+    MetricSums,
+    finalize_metrics,
+    metric_sums_from_batch,
+)
+from cspn_monodepth_tpu.train.train_state import (
+    TrainState,
+    create_train_state,
+    make_optimizer,
+)
+from cspn_monodepth_tpu.utils.logging import CSVLogger
+
+METRIC_FIELDS = ["epoch", "loss", "rmse", "mae", "rel", "lg10", "delta1",
+                 "delta2", "delta3", "irmse", "imae", "lr", "images_per_sec",
+                 "data_time", "step_time"]
+
+
+class Trainer:
+    def __init__(self, cfg: Config, mesh=None, workdir: str | None = None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
+        self.workdir = workdir or cfg.train.checkpoint_dir
+        self.model = CSPNDepthNet(
+            modality=cfg.model.modality,
+            num_iters=cfg.model.num_iters,
+            norm_type=cfg.model.norm_type,
+            cspn_impl=cfg.model.cspn_impl,
+            dtype=jnp.dtype(cfg.model.dtype),
+            encoder_stages=tuple(cfg.model.encoder_stages),
+            encoder_width=cfg.model.encoder_width,
+            decoder_channels=tuple(cfg.model.decoder_channels),
+            decoder_out=cfg.model.decoder_out,
+            spatial_mesh=self.mesh if cfg.mesh.spatial > 1 else None,
+        )
+        self.train_ds = make_dataset(cfg.data, "train", seed=cfg.train.seed)
+        self.val_ds = make_dataset(cfg.data, "val", seed=cfg.train.seed)
+        n = len(self.train_ds)
+        self.steps_per_epoch = cfg.train.steps_per_epoch or max(
+            n // cfg.train.batch_size, 1)
+        self.tx, self.lr_schedule = make_optimizer(
+            cfg.train, self.steps_per_epoch)
+        self.loss_fn = get_loss_fn(cfg.train.loss)
+
+        self._rep = replicated_sharding(self.mesh)
+        # (B, H, W[, C]) arrays: B over "data", H over "spatial" (if used).
+        self._bsh = batch_sharding(
+            self.mesh, spatial_dim=1 if cfg.mesh.spatial > 1 else None)
+        # (B,)-shaped per-image arrays shard over "data" only.
+        self._bsh1d = batch_sharding(self.mesh)
+        self._compile_steps()
+
+    # ---------------------------------------------------------- model io
+    def _assemble_input(self, rgb, sparse):
+        """Stack per-modality input channels (SURVEY.md section 3.1)."""
+        modality = self.cfg.model.modality
+        if modality == "rgb":
+            return rgb
+        if modality == "d":
+            return sparse[..., None]
+        return jnp.concatenate([rgb, sparse[..., None]], axis=-1)
+
+    def _sample_sparse(self, rng, depth):
+        if self.cfg.data.num_samples > 0:
+            return uniform_sparse_sample(
+                rng, depth, self.cfg.data.num_samples,
+                max_depth=self.cfg.data.max_depth)
+        return jnp.zeros_like(depth)
+
+    # ---------------------------------------------------------- jit steps
+    def _compile_steps(self):
+        cfg = self.cfg
+
+        def train_step(state: TrainState, batch, rng):
+            rng = jax.random.fold_in(rng, state.step)
+            sparse = self._sample_sparse(rng, batch["depth"])
+            x = self._assemble_input(batch["rgb"], sparse)
+            target = batch["depth"][..., None]
+
+            def loss_of(params):
+                pred, mut = self.model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    x, train=True, mutable=["batch_stats"])
+                return self.loss_fn(pred, target), (pred, mut["batch_stats"])
+
+            (loss, (pred, new_stats)), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(state.params)
+            new_state = state.apply_gradients(self.tx, grads, new_stats)
+            sums = metric_sums_from_batch(pred, target)
+            return new_state, loss, sums
+
+        def eval_step(state: TrainState, batch, rng):
+            sparse = self._sample_sparse(rng, batch["depth"])
+            x = self._assemble_input(batch["rgb"], sparse)
+            pred = self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                x, train=False)
+            return metric_sums_from_batch(pred, batch["depth"][..., None]), pred
+
+        rep, bsh = self._rep, self._bsh
+        self.train_step = jax.jit(
+            train_step, donate_argnums=(0,),
+            in_shardings=(rep, {"rgb": bsh, "depth": bsh}, rep),
+            out_shardings=(rep, rep, rep))
+        self.eval_step = jax.jit(
+            eval_step,
+            in_shardings=(rep, {"rgb": bsh, "depth": bsh,
+                                "valid_image": self._bsh1d}, rep),
+            out_shardings=(rep, bsh))
+
+    # ---------------------------------------------------------- state
+    def init_state(self) -> TrainState:
+        cfg = self.cfg
+        h, w = cfg.data.height, cfg.data.width
+        ch = {"rgb": 3, "rgbd": 4, "d": 1}[cfg.model.modality]
+        dummy = jnp.zeros((1, h, w, ch), jnp.float32)
+
+        def init_fn(rng):
+            variables = self.model.init(rng, dummy, train=False)
+            return create_train_state(variables, self.tx)
+
+        state = jax.jit(init_fn, out_shardings=self._rep)(
+            jax.random.key(cfg.train.seed))
+        return state
+
+    # ---------------------------------------------------------- epochs
+    def train_epoch(self, state: TrainState, epoch: int, log=print):
+        cfg = self.cfg
+        it = make_train_iterator(
+            self.train_ds, global_batch=cfg.train.batch_size, epoch=epoch,
+            seed=cfg.train.seed, num_workers=cfg.data.num_workers,
+            steps=cfg.train.steps_per_epoch,
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
+        rng = jax.device_put(
+            jax.random.key(cfg.train.seed + 17 * epoch + 1), self._rep)
+
+        meter = AverageMeter()
+        sums = MetricSums.zeros()
+        losses = []
+        t_end = time.time()
+        for step, batch in enumerate(it):
+            data_time = time.time() - t_end
+            state, loss, s = self.train_step(state, batch, rng)
+            if step % cfg.train.log_every == 0:
+                loss_f = float(loss)  # sync point only every log_every
+                step_time = (time.time() - t_end) - data_time
+                ips = cfg.train.batch_size / max(step_time, 1e-9)
+                log(f"epoch {epoch} step {step}/{self.steps_per_epoch} "
+                    f"loss {loss_f:.4f} data {data_time*1000:.0f}ms "
+                    f"step {step_time*1000:.0f}ms ({ips:.1f} img/s)")
+            meter.update(data_time=data_time,
+                         step_time=time.time() - t_end - data_time)
+            losses.append(loss)
+            sums = sums + s
+            t_end = time.time()
+        it.close()
+
+        metrics = finalize_metrics(sums)
+        metrics["loss"] = float(jnp.mean(jnp.stack(losses)))
+        metrics.update(meter.average())
+        metrics["lr"] = float(self.lr_schedule(state.step))
+        return state, metrics
+
+    def evaluate(self, state: TrainState, log=print, epoch: int | None = None,
+                 save_panels: bool = True):
+        cfg = self.cfg
+        it = make_eval_iterator(
+            self.val_ds, global_batch=cfg.train.batch_size,
+            num_workers=cfg.data.num_workers,
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
+        # Eval sparse input must be deterministic: fixed seed, not step-dep.
+        rng = jax.device_put(jax.random.key(cfg.train.seed + 9999), self._rep)
+        sums = MetricSums.zeros()
+        n_img = 0
+        t0 = time.time()
+        for i, batch in enumerate(it):
+            valid = batch.pop("valid_image")
+            s, pred = self.eval_step(
+                state, {**batch, "valid_image": valid}, rng)
+            sums = sums + s
+            n_img += int(valid.sum())
+            if i == 0 and save_panels and jax.process_index() == 0:
+                self._save_panel(batch, pred, epoch)
+        it.close()
+        metrics = finalize_metrics(sums)
+        metrics["images_per_sec"] = n_img / max(time.time() - t0, 1e-9)
+        log("eval " + " ".join(f"{k} {v:.4f}" for k, v in metrics.items()
+                               if isinstance(v, float)))
+        return metrics
+
+    def _save_panel(self, batch, pred, epoch: int | None):
+        """Save the reference-style rgb|sparse|gt|pred comparison strip
+        (SURVEY.md R13) for the first few eval images."""
+        from cspn_monodepth_tpu.utils.logging import merge_into_row, save_image
+
+        try:
+            pred_np = np.asarray(jax.device_get(pred))[..., 0]
+            rgb = batch["rgb"]
+            depth = batch["depth"]
+            rows = [merge_into_row(rgb[i], None, depth[i], pred_np[i])
+                    for i in range(min(4, rgb.shape[0]))]
+            tag = "latest" if epoch is None else f"epoch{epoch:03d}"
+            save_image(np.concatenate(rows, axis=0),
+                       f"{self.workdir}/comparison_{tag}.png")
+        except Exception as e:  # visualization must never kill eval
+            print(f"panel save failed: {e}")
+
+    # ---------------------------------------------------------- fit
+    def fit(self, log=print):
+        cfg = self.cfg
+        ckpt = CheckpointManager(self.workdir)
+        state = self.init_state()
+        start_epoch = 0
+        best_rmse = float("inf")
+
+        restored, extra = ckpt.restore(abstract_state_of(state))
+        if restored is not None:
+            state = restored
+            start_epoch = int(extra.get("epoch", -1)) + 1
+            best_rmse = float(extra.get("best_rmse", float("inf")))
+            log(f"resumed from step {int(jax.device_get(state.step))}, "
+                f"epoch {start_epoch}")
+
+        train_csv = CSVLogger(f"{self.workdir}/train.csv", METRIC_FIELDS)
+        test_csv = CSVLogger(f"{self.workdir}/test.csv", METRIC_FIELDS)
+
+        for epoch in range(start_epoch, cfg.train.epochs):
+            state, train_metrics = self.train_epoch(state, epoch, log=log)
+            train_csv.append({"epoch": epoch, **{
+                k: f"{v:.6f}" for k, v in train_metrics.items()
+                if isinstance(v, float)}})
+
+            eval_metrics = self.evaluate(state, log=log, epoch=epoch)
+            test_csv.append({"epoch": epoch, **{
+                k: f"{v:.6f}" for k, v in eval_metrics.items()
+                if isinstance(v, float)}})
+
+            is_best = eval_metrics["rmse"] < best_rmse
+            if is_best:
+                best_rmse = eval_metrics["rmse"]
+                with open(f"{self.workdir}/best.txt", "w") as f:
+                    f.write(f"epoch {epoch} " + " ".join(
+                        f"{k}={v:.6f}" for k, v in eval_metrics.items()
+                        if isinstance(v, float)))
+            ckpt.save(int(jax.device_get(state.step)), state,
+                      extra={"epoch": epoch, "best_rmse": best_rmse,
+                             "config": cfg.name},
+                      is_best=is_best)
+        ckpt.close()
+        return state, best_rmse

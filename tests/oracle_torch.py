@@ -21,7 +21,8 @@ def cspn_oracle(guidance, blur_depth, sparse_depth=None, num_iters=24,
     g = guidance.double()
     if norm_type == "8sum_abs":
         g = g.abs()
-    abs_sum = g.abs().sum(dim=-1, keepdim=True).clamp_min(eps)
+    floor = 1.0 if norm_type == "8sum_clamp" else eps
+    abs_sum = g.abs().sum(dim=-1, keepdim=True).clamp_min(floor)
     gate = g / abs_sum                       # (B,H,W,8)
     g0 = 1.0 - gate.sum(dim=-1)              # (B,H,W)
 

@@ -1,0 +1,89 @@
+"""Pallas-vs-jnp parity (SURVEY.md section 5.2 item 3).
+
+On CPU the kernel runs in interpreter mode — same kernel code, same
+numerics path as the TPU lowering modulo float ordering, so tolerances are
+tight. TPU-compiled parity is additionally exercised by bench.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cspn_monodepth_tpu.ops import cspn_propagate_ref, uniform_sparse_sample
+from cspn_monodepth_tpu.ops.cspn_pallas import cspn_propagate_pallas
+
+
+
+
+def _assert_close(got, want, rtol=1e-5):
+    """allclose with atol scaled to the field magnitude: random signed
+    gates are expansive (values reach 1e4+ by T=12), so a fixed atol is
+    meaningless — what matters is error relative to the largest value."""
+    got, want = np.asarray(got), np.asarray(want)
+    scale = max(1.0, float(np.max(np.abs(want))))
+    np.testing.assert_allclose(got, want, rtol=rtol, atol=rtol * scale)
+
+def _problem(key, b, h, w, n_sparse=30):
+    kg, kd, ks = jax.random.split(key, 3)
+    guidance = jax.random.normal(kg, (b, h, w, 8), jnp.float32)
+    blur = jax.random.uniform(kd, (b, h, w), jnp.float32, 0.1, 10.0)
+    dense = jax.random.uniform(ks, (b, h, w), jnp.float32, 0.1, 10.0)
+    sparse = uniform_sparse_sample(ks, dense, num_samples=n_sparse)
+    return guidance, blur, sparse
+
+
+@pytest.mark.parametrize("num_iters", [1, 5, 12])
+@pytest.mark.parametrize("with_sparse", [True, False])
+def test_pallas_matches_ref(num_iters, with_sparse):
+    guidance, blur, sparse = _problem(jax.random.key(num_iters), 2, 16, 24)
+    sp = sparse if with_sparse else None
+    want = cspn_propagate_ref(guidance, blur, sp, num_iters=num_iters)
+    got = cspn_propagate_pallas(guidance, blur, sp, num_iters=num_iters)
+    _assert_close(got, want)
+
+
+@pytest.mark.parametrize("hw", [(13, 17), (28, 30), (57, 76)])
+def test_pallas_odd_sizes(hw):
+    """Non-tile-aligned shapes (SURVEY.md section 8 'hard parts')."""
+    h, w = hw
+    guidance, blur, sparse = _problem(jax.random.key(7), 1, h, w)
+    want = cspn_propagate_ref(guidance, blur, sparse, num_iters=6)
+    got = cspn_propagate_pallas(guidance, blur, sparse, num_iters=6)
+    _assert_close(got, want)
+
+
+def test_pallas_norm_abs():
+    guidance, blur, sparse = _problem(jax.random.key(9), 1, 12, 16)
+    want = cspn_propagate_ref(guidance, blur, sparse, num_iters=8,
+                              norm_type="8sum_abs")
+    got = cspn_propagate_pallas(guidance, blur, sparse, num_iters=8,
+                                norm_type="8sum_abs")
+    _assert_close(got, want)
+
+
+def test_pallas_channel_dim():
+    guidance, blur, sparse = _problem(jax.random.key(11), 2, 10, 12)
+    got = cspn_propagate_pallas(guidance, blur[..., None],
+                                sparse[..., None], num_iters=3)
+    want = cspn_propagate_ref(guidance, blur, sparse, num_iters=3)
+    assert got.shape == blur.shape + (1,)
+    _assert_close(got[..., 0], want)
+
+
+@pytest.mark.parametrize("with_sparse", [True, False])
+def test_pallas_grads_match_ref(with_sparse):
+    """Custom-VJP gradients == autodiff through the jnp reference."""
+    guidance, blur, sparse = _problem(jax.random.key(13), 1, 10, 14)
+    sp = sparse if with_sparse else None
+
+    def loss_pallas(g, d):
+        return jnp.sum(cspn_propagate_pallas(g, d, sp, num_iters=5) ** 2)
+
+    def loss_ref(g, d):
+        return jnp.sum(cspn_propagate_ref(g, d, sp, num_iters=5) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(guidance, blur)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(guidance, blur)
+    for a, b in zip(gp, gr):
+        _assert_close(a, b, rtol=1e-4)

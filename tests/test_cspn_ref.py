@@ -28,7 +28,7 @@ def _rand(key, b=2, h=13, w=17):
 
 @pytest.mark.parametrize("num_iters", [1, 4, 12])
 @pytest.mark.parametrize("with_sparse", [False, True])
-@pytest.mark.parametrize("norm_type", ["8sum", "8sum_abs"])
+@pytest.mark.parametrize("norm_type", ["8sum", "8sum_abs", "8sum_clamp"])
 def test_oracle_parity(num_iters, with_sparse, norm_type):
     guidance, blur, sparse = _rand(jax.random.key(num_iters))
     sp = sparse if with_sparse else None
@@ -56,6 +56,38 @@ def test_affinity_rows_sum_to_one():
     np.testing.assert_allclose(
         np.asarray(jnp.sum(jnp.abs(gate), axis=-1)), 1.0, rtol=1e-5
     )
+
+
+def test_clamp_norm_identity_and_clean_grads_at_zero():
+    """"8sum_clamp" at g-hat = 0: identity propagation AND unit-scale
+    gradients (d gate / d g-hat = 1, not 1/eps) — the property that makes
+    zero-init guidance heads trainable."""
+    b, h, w = 1, 8, 8
+    blur = jax.random.uniform(jax.random.key(21), (b, h, w))
+
+    def out_sum(g):
+        return jnp.sum(cspn_propagate_ref(g, blur, num_iters=4,
+                                          norm_type="8sum_clamp"))
+
+    zero_g = jnp.zeros((b, h, w, 8))
+    out = cspn_propagate_ref(zero_g, blur, num_iters=4,
+                             norm_type="8sum_clamp")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(blur), rtol=1e-6)
+    grad = jax.grad(out_sum)(zero_g)
+    assert float(jnp.max(jnp.abs(grad))) < 100.0  # no 1/eps blowup
+    assert float(jnp.max(jnp.abs(grad))) > 1e-3   # but gradient flows
+
+
+def test_clamp_norm_matches_8sum_above_one():
+    """Where sum|g-hat| >= 1, "8sum_clamp" must equal "8sum" exactly."""
+    b, h, w = 1, 8, 8
+    g = jax.random.normal(jax.random.key(22), (b, h, w, 8)) * 5.0
+    # ensure every pixel has abs-sum > 1
+    assert float(jnp.min(jnp.sum(jnp.abs(g), axis=-1))) > 1.0
+    blur = jax.random.uniform(jax.random.key(23), (b, h, w))
+    a = cspn_propagate_ref(g, blur, num_iters=6, norm_type="8sum")
+    c = cspn_propagate_ref(g, blur, num_iters=6, norm_type="8sum_clamp")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-6)
 
 
 def test_zero_guidance_is_identity():

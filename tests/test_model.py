@@ -1,0 +1,87 @@
+"""Model construction/forward tests (SURVEY.md R3-R5, section 4.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cspn_monodepth_tpu.models import CSPNDepthNet, ResNetEncoder
+
+# Tiny architecture for fast XLA-CPU compiles; the full ResNet-50 arch is
+# covered by eval_shape-based tests (no compile) and by the TPU benchmarks.
+TINY = dict(encoder_stages=(1, 1, 1, 1), encoder_width=16,
+            decoder_channels=(32, 24, 16, 16), decoder_out=16)
+
+
+def test_encoder_pyramid_shapes():
+    """Full ResNet-50 pyramid shapes — via eval_shape (no XLA compile)."""
+    enc = ResNetEncoder(dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 96, 3))
+    variables = jax.eval_shape(lambda: enc.init(jax.random.key(0), x,
+                                                train=False))
+    stem, c1, c2, c3, c4 = jax.eval_shape(
+        lambda v, xx: enc.apply(v, xx, train=False), variables, x)
+    assert stem.shape == (1, 32, 48, 64)
+    assert c1.shape == (1, 16, 24, 256)
+    assert c2.shape == (1, 8, 12, 512)
+    assert c3.shape == (1, 4, 6, 1024)
+    assert c4.shape == (1, 2, 3, 2048)
+
+
+def test_encoder_odd_input():
+    """228x304-style odd sizes must flow through; tiny encoder, compiled."""
+    enc = ResNetEncoder(stage_sizes=(1, 1, 1, 1), width=16,
+                        dtype=jnp.float32)
+    x = jnp.zeros((1, 57, 76, 3))
+    variables = enc.init(jax.random.key(0), x, train=False)
+    skips = enc.apply(variables, x, train=False)
+    assert skips[-1].shape[1:3] == (2, 3)  # ceil(57/32), ceil(76/32)
+
+
+@pytest.mark.parametrize("modality,ch", [("rgb", 3), ("rgbd", 4), ("d", 1)])
+def test_model_forward_modalities(modality, ch):
+    model = CSPNDepthNet(modality=modality, num_iters=2, cspn_impl="jnp",
+                         dtype=jnp.float32, **TINY)
+    x = jax.random.uniform(jax.random.key(0), (1, 32, 48, ch))
+    variables = model.init(jax.random.key(1), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 32, 48, 1)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_model_param_count_resnet50_scale():
+    """ResNet-50 backbone alone is ~23.5M params; the full model with the
+    UpProj decoder should land in the 40-90M range — catches accidentally
+    tiny/huge architectures."""
+    model = CSPNDepthNet(modality="rgbd", num_iters=1, cspn_impl="jnp",
+                         dtype=jnp.float32)
+    x = jnp.zeros((1, 32, 48, 4))
+    variables = jax.eval_shape(lambda: model.init(jax.random.key(0), x,
+                                                  train=False))
+    n = sum(int(np.prod(p.shape))
+            for p in jax.tree.leaves(variables["params"]))
+    assert 30e6 < n < 120e6, f"{n/1e6:.1f}M params"
+
+
+def test_model_anchors_preserved():
+    """rgbd: sparse anchor pixels must appear exactly in the output."""
+    model = CSPNDepthNet(modality="rgbd", num_iters=4, cspn_impl="jnp",
+                         dtype=jnp.float32, **TINY)
+    rgb = jax.random.uniform(jax.random.key(0), (1, 32, 48, 3))
+    sparse = jnp.zeros((1, 32, 48, 1)).at[0, 10, 20, 0].set(3.5)
+    x = jnp.concatenate([rgb, sparse], axis=-1)
+    variables = model.init(jax.random.key(1), x, train=False)
+    out = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(float(out[0, 10, 20, 0]), 3.5, rtol=1e-5)
+
+
+def test_model_train_mode_updates_batch_stats():
+    model = CSPNDepthNet(modality="rgb", num_iters=1, cspn_impl="jnp",
+                         dtype=jnp.float32, **TINY)
+    x = jax.random.uniform(jax.random.key(0), (2, 32, 48, 3))
+    variables = model.init(jax.random.key(1), x, train=False)
+    _, mut = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    before = jax.tree.leaves(variables["batch_stats"])
+    after = jax.tree.leaves(mut["batch_stats"])
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(before, after))

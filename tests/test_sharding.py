@@ -1,0 +1,110 @@
+"""Sharding equivalence tests on the forced-8-device CPU mesh.
+
+SURVEY.md section 5.2 item 4: spatially-sharded + halo-exchange CSPN must
+equal the single-device op; the DP loss/grad must equal single-device
+values on the same global batch.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cspn_monodepth_tpu.configs import MeshConfig
+from cspn_monodepth_tpu.ops import cspn_propagate_ref, uniform_sparse_sample
+from cspn_monodepth_tpu.parallel import (
+    batch_sharding,
+    cspn_propagate_spatial,
+    make_mesh,
+    shard_batch,
+)
+from cspn_monodepth_tpu.train import masked_mse_loss
+
+
+def _problem(key, b=2, h=32, w=24):
+    kg, kd, ks = jax.random.split(key, 3)
+    guidance = jax.random.normal(kg, (b, h, w, 8), jnp.float32)
+    blur = jax.random.uniform(kd, (b, h, w), jnp.float32, 0.1, 10.0)
+    dense = jax.random.uniform(ks, (b, h, w), jnp.float32, 0.1, 10.0)
+    sparse = uniform_sparse_sample(ks, dense, num_samples=40)
+    return guidance, blur, sparse
+
+
+@pytest.mark.parametrize("halo_k", [1, 3, 4])
+@pytest.mark.parametrize("with_sparse", [True, False])
+def test_spatial_sharded_equals_single_device(halo_k, with_sparse):
+    mesh = make_mesh(MeshConfig(data=2, spatial=4))
+    guidance, blur, sparse = _problem(jax.random.key(0))
+    sp = sparse if with_sparse else None
+
+    want = cspn_propagate_ref(guidance, blur, sp, num_iters=10)
+
+    sh = batch_sharding(mesh, spatial_dim=1)
+    gs = jax.device_put(guidance, sh)
+    bs = jax.device_put(blur, sh)
+    ss = jax.device_put(sparse, sh) if with_sparse else None
+    got = cspn_propagate_spatial(
+        gs, bs, ss, mesh=mesh, num_iters=10, halo_k=halo_k)
+
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_spatial_sharded_grads_match():
+    mesh = make_mesh(MeshConfig(data=2, spatial=4))
+    guidance, blur, sparse = _problem(jax.random.key(1), b=2, h=16, w=16)
+
+    def loss_single(g, d):
+        return jnp.sum(cspn_propagate_ref(g, d, sparse, num_iters=6) ** 2)
+
+    def loss_sharded(g, d):
+        return jnp.sum(
+            cspn_propagate_spatial(
+                g, d, sparse, mesh=mesh, num_iters=6, halo_k=2) ** 2)
+
+    gg1, gd1 = jax.grad(loss_single, argnums=(0, 1))(guidance, blur)
+    sh = batch_sharding(mesh, spatial_dim=1)
+    gg2, gd2 = jax.jit(jax.grad(loss_sharded, argnums=(0, 1)))(
+        jax.device_put(guidance, sh), jax.device_put(blur, sh))
+    np.testing.assert_allclose(np.asarray(gg2), np.asarray(gg1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gd2), np.asarray(gd1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dp_loss_and_grad_match_single_device():
+    """Data-parallel masked loss / grads == single-device on same batch."""
+    mesh = make_mesh(MeshConfig(data=8, spatial=1))
+    key = jax.random.key(2)
+    pred = jax.random.uniform(key, (8, 12, 16), minval=0.1, maxval=9.0)
+    target = jax.random.uniform(jax.random.key(3), (8, 12, 16),
+                                minval=0.0, maxval=9.0)
+    target = jnp.where(target > 2.0, target, 0.0)  # some invalid pixels
+
+    w = jax.random.uniform(jax.random.key(4), (16, 16))
+
+    def loss(w, pred, target):
+        return masked_mse_loss(pred @ w, target)
+
+    l1 = loss(w, pred, target)
+    g1 = jax.grad(loss)(w, pred, target)
+
+    sh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    l2, g2 = jax.jit(lambda w, p, t: (loss(w, p, t), jax.grad(loss)(w, p, t)),
+                     out_shardings=(rep, rep))(
+        jax.device_put(w, rep), jax.device_put(pred, sh),
+        jax.device_put(target, sh))
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-5)
+
+
+def test_shard_batch_utility():
+    mesh = make_mesh(MeshConfig(data=4, spatial=2))
+    batch = {"rgb": np.ones((8, 16, 16, 3), np.float32),
+             "depth": np.ones((8, 16, 16), np.float32)}
+    out = shard_batch(batch, mesh)
+    assert out["rgb"].sharding.spec == P("data")
+    np.testing.assert_array_equal(np.asarray(out["depth"]), batch["depth"])

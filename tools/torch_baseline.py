@@ -1,0 +1,210 @@
+"""PyTorch baseline: the reference architecture, reimplemented from
+SURVEY.md section 4 for throughput measurement.
+
+The reference repo published no img/s numbers and this environment has no
+GPU, so this torch-CPU implementation is the only measurable PyTorch
+baseline (BASELINE.md "reference throughput: unknown"). It is written from
+the functional spec — ResNet-50 UNet encoder-decoder with UpProj blocks,
+blur-depth + 8ch guidance heads, and the per-iteration CSPN loop exactly as
+the reference structures it (per-iteration torch elementwise ops, SURVEY.md
+R6) — NOT from reference code (the mount was empty).
+
+Usage: python tools/torch_baseline.py   # writes BENCH_BASELINE.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+class Bottleneck(nn.Module):
+    expansion = 4
+
+    def __init__(self, cin, width, stride=1):
+        super().__init__()
+        cout = width * 4
+        self.conv1 = nn.Conv2d(cin, width, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, cout, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(cout)
+        self.down = None
+        if stride != 1 or cin != cout:
+            self.down = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride, bias=False),
+                nn.BatchNorm2d(cout))
+
+    def forward(self, x):
+        r = x if self.down is None else self.down(x)
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = F.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return F.relu(y + r)
+
+
+class UpProj(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.c1a = nn.Conv2d(cin, cout, 5, padding=2, bias=False)
+        self.b1a = nn.BatchNorm2d(cout)
+        self.c1b = nn.Conv2d(cout, cout, 3, padding=1, bias=False)
+        self.b1b = nn.BatchNorm2d(cout)
+        self.c2 = nn.Conv2d(cin, cout, 5, padding=2, bias=False)
+        self.b2 = nn.BatchNorm2d(cout)
+
+    def forward(self, x, out_hw, skip=None):
+        x = F.interpolate(x, scale_factor=2, mode="nearest")
+        x = x[:, :, :out_hw[0], :out_hw[1]]
+        if skip is not None:
+            x = torch.cat([x, skip], dim=1)
+        a = self.b1b(self.c1b(F.relu(self.b1a(self.c1a(x)))))
+        b = self.b2(self.c2(x))
+        return F.relu(a + b)
+
+
+class AffinityPropagate(nn.Module):
+    """Reference-style CSPN loop: per-iteration elementwise ops."""
+
+    def __init__(self, prop_time=24):
+        super().__init__()
+        self.prop_time = prop_time
+        self.offsets = [(-1, -1), (-1, 0), (-1, 1), (0, -1),
+                        (0, 1), (1, -1), (1, 0), (1, 1)]
+
+    def forward(self, guidance, blur, sparse=None):
+        # guidance (B,8,H,W), blur/sparse (B,1,H,W)
+        g = guidance
+        s = g.abs().sum(dim=1, keepdim=True).clamp_min(1e-8)
+        gate = g / s
+        g0 = 1.0 - gate.sum(dim=1, keepdim=True)
+        d = blur
+        if sparse is not None:
+            m = (sparse > 0).float()
+            d = (1 - m) * d + m * sparse
+        b, _, h, w = d.shape
+        for _ in range(self.prop_time):
+            pad = F.pad(d, (1, 1, 1, 1))
+            new = g0 * d
+            for k, (dy, dx) in enumerate(self.offsets):
+                new = new + gate[:, k:k + 1] * pad[:, :, 1 + dy:1 + dy + h,
+                                                   1 + dx:1 + dx + w]
+            if sparse is not None:
+                new = (1 - m) * new + m * sparse
+            d = new
+        return d
+
+
+class TorchCSPNNet(nn.Module):
+    def __init__(self, in_ch=4, prop_time=24):
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_ch, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        widths, blocks, strides = [64, 128, 256, 512], [3, 4, 6, 3], [1, 2, 2, 2]
+        cin = 64
+        self.layers = nn.ModuleList()
+        for wd, nb, st in zip(widths, blocks, strides):
+            stage = []
+            for i in range(nb):
+                stage.append(Bottleneck(cin, wd, st if i == 0 else 1))
+                cin = wd * 4
+            self.layers.append(nn.Sequential(*stage))
+        self.bottleneck = nn.Sequential(
+            nn.Conv2d(2048, 1024, 3, padding=1, bias=False),
+            nn.BatchNorm2d(1024), nn.ReLU(inplace=True))
+        self.up1 = UpProj(1024 + 1024, 512)
+        self.up2 = UpProj(512 + 512, 256)
+        self.up3 = UpProj(256 + 256, 128)
+        self.up4 = UpProj(128 + 64, 64)
+        self.up5 = UpProj(64, 64)
+        self.depth_head = nn.Conv2d(64, 1, 3, padding=1)
+        self.guide_head = nn.Conv2d(64, 8, 3, padding=1)
+        self.cspn = AffinityPropagate(prop_time)
+
+    def forward(self, x):
+        sparse = x[:, 3:4] if x.shape[1] == 4 else None
+        hw = x.shape[2:]
+        stem = F.relu(self.bn1(self.conv1(x)))
+        y = F.max_pool2d(stem, 3, 2, 1)
+        skips = []
+        for stage in self.layers:
+            y = stage(y)
+            skips.append(y)
+        c1, c2, c3, c4 = skips
+        y = self.bottleneck(c4)
+        y = self.up1(y, c3.shape[2:], c3)
+        y = self.up2(y, c2.shape[2:], c2)
+        y = self.up3(y, c1.shape[2:], c1)
+        y = self.up4(y, stem.shape[2:], stem)
+        y = self.up5(y, hw)
+        blur = self.depth_head(y)
+        guide = self.guide_head(y)
+        return self.cspn(guide, blur, sparse)
+
+
+def main():
+    torch.manual_seed(0)
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    h, w = 228, 304
+    model = TorchCSPNNet(4, 24)
+    x = torch.rand(batch, 4, h, w)
+    target = torch.rand(batch, 1, h, w) * 10
+    opt = torch.optim.SGD(model.parameters(), lr=0.01, momentum=0.9,
+                          weight_decay=1e-4)
+
+    def train_step():
+        opt.zero_grad(set_to_none=True)
+        pred = model(x)
+        mask = (target > 0).float()
+        loss = ((pred - target) ** 2 * mask).sum() / mask.sum().clamp_min(1)
+        loss.backward()
+        opt.step()
+        return loss
+
+    def infer_step():
+        with torch.no_grad():
+            return model(x)
+
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    train_step()  # warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        train_step()
+    t_train = (time.perf_counter() - t0) / iters
+
+    model.eval()
+    infer_step()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        infer_step()
+    t_infer = (time.perf_counter() - t0) / iters
+    model.train()
+
+    train_ips = batch / t_train
+    infer_ips = batch / t_infer
+    combined = 1 / (1 / train_ips + 1 / infer_ips)
+    out = {
+        "combined_ips": round(combined, 3),
+        "train_images_per_sec": round(train_ips, 3),
+        "infer_images_per_sec": round(infer_ips, 3),
+        "batch": batch,
+        "device": "cpu",
+        "torch": torch.__version__,
+        "note": ("reference-architecture PyTorch baseline measured on this "
+                 "host's CPU (no GPU in the zero-egress environment; the "
+                 "reference published no throughput numbers)"),
+    }
+    path = os.path.join(os.path.dirname(__file__), "..", "BENCH_BASELINE.json")
+    with open(os.path.abspath(path), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
