@@ -146,7 +146,9 @@ class Trainer:
         cfg = self.cfg
         h, w = cfg.data.height, cfg.data.width
         ch = {"rgb": 3, "rgbd": 4, "d": 1}[cfg.model.modality]
-        dummy = jnp.zeros((1, h, w, ch), jnp.float32)
+        # Dummy batch must be shardable over the "data" axis (the CSPN
+        # shard_map inside apply requires it even at init time).
+        dummy = jnp.zeros((self.mesh.shape["data"], h, w, ch), jnp.float32)
 
         def init_fn(rng):
             variables = self.model.init(rng, dummy, train=False)
