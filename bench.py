@@ -58,21 +58,24 @@ def main():
     }
     rng = jax.device_put(jax.random.key(0), trainer._rep)
 
-    # --- train step (fwd + bwd + update + metrics, all fused under jit)
-    def train_once(state, b, r):
-        s, loss, sums = trainer.train_step(state, b, r)
-        return s, loss
-
-    state, _ = train_once(state, host_batch, rng)  # compile
-    t_train = _timeit(lambda: train_once(state, host_batch, rng)[1],
-                      iters=int(os.environ.get("BENCH_ITERS", "20")))
+    # --- train step (fwd + bwd + update + metrics, all fused under jit).
+    # The step donates `state`, so the timing loop must thread it through.
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    for _ in range(3):  # compile + warmup
+        state, loss, _ = trainer.train_step(state, host_batch, rng)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss, _ = trainer.train_step(state, host_batch, rng)
+    jax.block_until_ready(loss)
+    t_train = (time.perf_counter() - t0) / iters
     train_ips = batch / t_train
 
     # --- inference step (fwd with CSPN refinement, eval mode)
     eval_batch = {**host_batch,
                   "valid_image": __import__("numpy").ones(batch, "float32")}
     t_infer = _timeit(lambda: trainer.eval_step(state, eval_batch, rng)[0],
-                      iters=int(os.environ.get("BENCH_ITERS", "20")))
+                      iters=iters)
     infer_ips = batch / t_infer
 
     combined = 1.0 / (1.0 / train_ips + 1.0 / infer_ips)

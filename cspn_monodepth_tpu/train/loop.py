@@ -260,17 +260,24 @@ class Trainer:
 
         train_csv = CSVLogger(f"{self.workdir}/train.csv", METRIC_FIELDS)
         test_csv = CSVLogger(f"{self.workdir}/test.csv", METRIC_FIELDS)
+        from cspn_monodepth_tpu.utils.tensorboard import TBWriter
+
+        tb = TBWriter(f"{self.workdir}/tb",
+                      enabled=jax.process_index() == 0)
 
         for epoch in range(start_epoch, cfg.train.epochs):
             state, train_metrics = self.train_epoch(state, epoch, log=log)
             train_csv.append({"epoch": epoch, **{
                 k: f"{v:.6f}" for k, v in train_metrics.items()
                 if isinstance(v, float)}})
+            tb.scalars("train", train_metrics, epoch)
 
             eval_metrics = self.evaluate(state, log=log, epoch=epoch)
             test_csv.append({"epoch": epoch, **{
                 k: f"{v:.6f}" for k, v in eval_metrics.items()
                 if isinstance(v, float)}})
+            tb.scalars("eval", eval_metrics, epoch)
+            tb.flush()
 
             is_best = eval_metrics["rmse"] < best_rmse
             if is_best:
