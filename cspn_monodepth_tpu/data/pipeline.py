@@ -97,6 +97,33 @@ def make_train_iterator(
     return _PrefetchIterator(make_batch, num_batches, prefetch)
 
 
+def device_prefetch(iterator, shardings: dict, depth: int = 2):
+    """Asynchronously device_put batches `depth` steps ahead of use.
+
+    jax.device_put is async (returns immediately; the copy proceeds in the
+    background), so keeping `depth` batches in flight overlaps host->device
+    transfer with the running step — the TPU never waits on PCIe/tunnel.
+    `shardings` maps batch key -> NamedSharding (fallback key "*").
+    """
+    import collections
+
+    import jax
+
+    def put(batch):
+        return {
+            k: jax.device_put(v, shardings.get(k, shardings.get("*")))
+            for k, v in batch.items()
+        }
+
+    buf = collections.deque()
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) > depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def make_eval_iterator(
     dataset,
     *,

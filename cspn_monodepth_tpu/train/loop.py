@@ -25,7 +25,11 @@ import numpy as np
 
 from cspn_monodepth_tpu.configs import Config
 from cspn_monodepth_tpu.data.datasets import make_dataset
-from cspn_monodepth_tpu.data.pipeline import make_eval_iterator, make_train_iterator
+from cspn_monodepth_tpu.data.pipeline import (
+    device_prefetch,
+    make_eval_iterator,
+    make_train_iterator,
+)
 from cspn_monodepth_tpu.models import CSPNDepthNet
 from cspn_monodepth_tpu.ops import uniform_sparse_sample
 from cspn_monodepth_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
@@ -174,7 +178,8 @@ class Trainer:
         sums = MetricSums.zeros()
         losses = []
         t_end = time.time()
-        for step, batch in enumerate(it):
+        batches = device_prefetch(it, {"*": self._bsh})
+        for step, batch in enumerate(batches):
             data_time = time.time() - t_end
             state, loss, s = self.train_step(state, batch, rng)
             if step % cfg.train.log_every == 0:
@@ -210,14 +215,16 @@ class Trainer:
         sums = MetricSums.zeros()
         n_img = 0
         t0 = time.time()
-        for i, batch in enumerate(it):
-            valid = batch.pop("valid_image")
-            s, pred = self.eval_step(
-                state, {**batch, "valid_image": valid}, rng)
+        batches = device_prefetch(
+            it, {"valid_image": self._bsh1d, "*": self._bsh})
+        for i, batch in enumerate(batches):
+            s, pred = self.eval_step(state, batch, rng)
             sums = sums + s
-            n_img += int(valid.sum())
+            n_img += int(np.asarray(jax.device_get(batch["valid_image"])).sum())
             if i == 0 and save_panels and jax.process_index() == 0:
-                self._save_panel(batch, pred, epoch)
+                self._save_panel(
+                    {k: np.asarray(jax.device_get(v))
+                     for k, v in batch.items()}, pred, epoch)
         it.close()
         metrics = finalize_metrics(sums)
         metrics["images_per_sec"] = n_img / max(time.time() - t0, 1e-9)
