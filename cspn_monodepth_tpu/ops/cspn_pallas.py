@@ -68,10 +68,17 @@ def _cspn_kernel(guid_ref, blur_ref, sparse_ref, out_ref, dpad_ref, *,
     dpad_ref[1:h + 1, 1:w + 1] = d0
 
     def body(_, carry):
-        d = dpad_ref[1:h + 1, 1:w + 1]
-        new = gate_center * d
-        for k, (dy, dx) in enumerate(NEIGHBOR_OFFSETS):
-            new += gates[k] * dpad_ref[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+        # Group the 9 taps by lane shift (dx): one lane-offset slice per
+        # column of the 3x3 stencil, then cheap sublane-offset slices for
+        # the rows — 3 lane shifts/iteration instead of 9.
+        dl = dpad_ref[:, 0:w]          # d[., j-1]
+        dc = dpad_ref[:, 1:w + 1]      # d[., j]
+        dr = dpad_ref[:, 2:w + 2]      # d[., j+1]
+        # NEIGHBOR_OFFSETS order: (-1,-1)(-1,0)(-1,1)(0,-1)(0,1)(1,-1)(1,0)(1,1)
+        new = gate_center * dc[1:h + 1]
+        new += gates[0] * dl[0:h] + gates[3] * dl[1:h + 1] + gates[5] * dl[2:h + 2]
+        new += gates[1] * dc[0:h] + gates[6] * dc[2:h + 2]
+        new += gates[2] * dr[0:h] + gates[4] * dr[1:h + 1] + gates[7] * dr[2:h + 2]
         if has_sparse:
             new = (1.0 - m) * new + m * sp
         dpad_ref[1:h + 1, 1:w + 1] = new

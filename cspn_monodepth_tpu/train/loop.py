@@ -135,6 +135,10 @@ class Trainer:
             return metric_sums_from_batch(pred, batch["depth"][..., None]), pred
 
         rep, bsh = self._rep, self._bsh
+        # Unjitted step functions are exposed for composition (bench.py
+        # scans them to time serial chains; tests call them directly).
+        self.train_step_fn = train_step
+        self.eval_step_fn = eval_step
         self.train_step = jax.jit(
             train_step, donate_argnums=(0,),
             in_shardings=(rep, {"rgb": bsh, "depth": bsh}, rep),
