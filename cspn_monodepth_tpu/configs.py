@@ -39,6 +39,16 @@ class DataConfig:
     hflip_prob: float = 0.5
     jitter: float = 0.2
     num_workers: int = 8
+    # Mixed training (BASELINE config 4, "NYU+KITTI mixed"): every
+    # mix_every-th step draws a batch from a secondary dataset. Shapes may
+    # differ (fully-convolutional model); jit caches one executable per
+    # shape. Sparse sampling uses max(max_depth, mix_max_depth).
+    mix_dataset: str = ""           # "" = no mixing
+    mix_root: str = ""
+    mix_height: int = 352
+    mix_width: int = 1216
+    mix_max_depth: float = 85.0
+    mix_every: int = 2
 
 
 @dataclass(frozen=True)
@@ -120,7 +130,9 @@ CONFIGS: dict[str, Config] = {
     # 4. NYU+KITTI mixed, 24-iter CSPN, DP across a full host (8 chips)
     "host8_dp": _cfg(
         "host8_dp",
-        **{"model.num_iters": 24, "train.batch_size": 64, "mesh.data": 8}),
+        **{"model.num_iters": 24, "train.batch_size": 64, "mesh.data": 8,
+           "data.mix_dataset": "kitti", "data.mix_root": "/data/kitti",
+           "data.mix_every": 2}),
     # 5. Multi-host large-batch training with sharded feature maps
     "multihost": _cfg(
         "multihost",

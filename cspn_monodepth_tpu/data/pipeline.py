@@ -109,9 +109,19 @@ def device_prefetch(iterator, shardings: dict, depth: int = 2):
 
     import jax
 
+    multihost = jax.process_count() > 1
+
+    def put_one(v, sh):
+        if multihost:
+            # Each host holds its shard of the global batch; stitch them
+            # into one global jax.Array (device_put cannot target
+            # non-addressable shardings).
+            return jax.make_array_from_process_local_data(sh, v)
+        return jax.device_put(v, sh)
+
     def put(batch):
         return {
-            k: jax.device_put(v, shardings.get(k, shardings.get("*")))
+            k: put_one(v, shardings.get(k, shardings.get("*")))
             for k, v in batch.items()
         }
 

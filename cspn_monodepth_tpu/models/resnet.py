@@ -35,8 +35,14 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        # Explicit symmetric (torch-style) padding rather than SAME: for
+        # stride-2 convs on even inputs SAME pads asymmetrically (low=0),
+        # shifting the window grid by one pixel vs torch — symmetric
+        # padding keeps torchvision-pretrained weights exactly portable
+        # (models/torch_weights.py, tests/test_torch_weights.py).
         conv = lambda c, k, s, name: nn.Conv(  # noqa: E731
-            c, (k, k), strides=(s, s), padding="SAME", use_bias=False,
+            c, (k, k), strides=(s, s),
+            padding=((k // 2, k // 2), (k // 2, k // 2)), use_bias=False,
             dtype=self.dtype, name=name)
         bn = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -68,12 +74,15 @@ class ResNetEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
-        x = nn.Conv(self.width, (7, 7), strides=(2, 2), padding="SAME",
+        # torch-style symmetric padding throughout (see Bottleneck note).
+        x = nn.Conv(self.width, (7, 7), strides=(2, 2),
+                    padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         stem = nn.relu(x)
-        x = nn.max_pool(stem, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.max_pool(stem, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
 
         skips = [stem]
         for stage, num_blocks in enumerate(self.stage_sizes):

@@ -72,6 +72,19 @@ class Trainer:
         )
         self.train_ds = make_dataset(cfg.data, "train", seed=cfg.train.seed)
         self.val_ds = make_dataset(cfg.data, "val", seed=cfg.train.seed)
+        # Mixed training (configs.DataConfig.mix_*): secondary dataset
+        # interleaved at batch level; the fully-convolutional model accepts
+        # both resolutions (one jit cache entry per shape).
+        self.mix_ds = None
+        if cfg.data.mix_dataset:
+            import dataclasses as _dc
+
+            mix_cfg = _dc.replace(
+                cfg.data, dataset=cfg.data.mix_dataset,
+                root=cfg.data.mix_root, height=cfg.data.mix_height,
+                width=cfg.data.mix_width, max_depth=cfg.data.mix_max_depth,
+                rotate_deg=0.0, scale_max=1.0, mix_dataset="")
+            self.mix_ds = make_dataset(mix_cfg, "train", seed=cfg.train.seed + 1)
         n = len(self.train_ds)
         self.steps_per_epoch = cfg.train.steps_per_epoch or max(
             n // cfg.train.batch_size, 1)
@@ -87,6 +100,22 @@ class Trainer:
         self._bsh1d = batch_sharding(self.mesh)
         self._compile_steps()
 
+    # ---------------------------------------------------------- helpers
+    def _replicate(self, x):
+        """Put a host value onto the mesh fully replicated — works in both
+        single-process (device_put) and multi-host (every process supplies
+        the same value; device_put can't target non-addressable devices)."""
+        x = np.asarray(x)
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(self._rep, x)
+        return jax.device_put(x, self._rep)
+
+    def _epoch_rng(self, tag: int):
+        # uint32 (legacy-style) keys so they survive np round-trips in
+        # multi-host replication; all jax.random APIs accept them.
+        return self._replicate(
+            jax.random.PRNGKey(self.cfg.train.seed + tag))
+
     # ---------------------------------------------------------- model io
     def _assemble_input(self, rgb, sparse):
         """Stack per-modality input channels (SURVEY.md section 3.1)."""
@@ -99,9 +128,13 @@ class Trainer:
 
     def _sample_sparse(self, rng, depth):
         if self.cfg.data.num_samples > 0:
+            cap = self.cfg.data.max_depth
+            if self.cfg.data.mix_dataset:
+                # One cap for both datasets: the looser one is a no-op for
+                # the shallower dataset (NYU <= 10 m is unaffected by 85 m).
+                cap = max(cap, self.cfg.data.mix_max_depth)
             return uniform_sparse_sample(
-                rng, depth, self.cfg.data.num_samples,
-                max_depth=self.cfg.data.max_depth)
+                rng, depth, self.cfg.data.num_samples, max_depth=cap)
         return jnp.zeros_like(depth)
 
     # ---------------------------------------------------------- jit steps
@@ -158,32 +191,61 @@ class Trainer:
         # shard_map inside apply requires it even at init time).
         dummy = jnp.zeros((self.mesh.shape["data"], h, w, ch), jnp.float32)
 
-        def init_fn(rng):
-            variables = self.model.init(rng, dummy, train=False)
+        def init_fn():
+            # Seed closed over statically: a no-arg jit avoids passing any
+            # process-local array into a multi-host computation.
+            variables = self.model.init(
+                jax.random.PRNGKey(cfg.train.seed), dummy, train=False)
             return create_train_state(variables, self.tx)
 
-        state = jax.jit(init_fn, out_shardings=self._rep)(
-            jax.random.key(cfg.train.seed))
+        state = jax.jit(init_fn, out_shardings=self._rep)()
         return state
 
     # ---------------------------------------------------------- epochs
-    def train_epoch(self, state: TrainState, epoch: int, log=print):
+    def _epoch_batches(self, epoch: int):
+        """Yield this epoch's device-prefetched batches; with mixing, every
+        mix_every-th batch comes from the secondary dataset."""
         cfg = self.cfg
+        total = self.steps_per_epoch
+        k = cfg.data.mix_every if self.mix_ds is not None else 0
+        n_mix = total // k if k else 0
         it = make_train_iterator(
             self.train_ds, global_batch=cfg.train.batch_size, epoch=epoch,
             seed=cfg.train.seed, num_workers=cfg.data.num_workers,
-            steps=cfg.train.steps_per_epoch,
+            steps=total - n_mix,
             process_index=jax.process_index(),
             process_count=jax.process_count())
-        rng = jax.device_put(
-            jax.random.key(cfg.train.seed + 17 * epoch + 1), self._rep)
+        main = device_prefetch(it, {"*": self._bsh})
+        if not n_mix:
+            yield from main
+            it.close()
+            return
+        mix_it = make_train_iterator(
+            self.mix_ds, global_batch=cfg.train.batch_size, epoch=epoch,
+            seed=cfg.train.seed + 1, num_workers=cfg.data.num_workers,
+            steps=n_mix,
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
+        mix = device_prefetch(mix_it, {"*": self._bsh})
+        main_iter, mix_iter = iter(main), iter(mix)
+        for step in range(total):
+            src = mix_iter if (step % k == k - 1) else main_iter
+            try:
+                yield next(src)
+            except StopIteration:
+                break
+        it.close()
+        mix_it.close()
+
+    def train_epoch(self, state: TrainState, epoch: int, log=print):
+        cfg = self.cfg
+        rng = self._epoch_rng(17 * epoch + 1)
 
         meter = AverageMeter()
         sums = MetricSums.zeros()
         losses = []
         t_end = time.time()
-        batches = device_prefetch(it, {"*": self._bsh})
-        for step, batch in enumerate(batches):
+        for step, batch in enumerate(self._epoch_batches(epoch)):
             data_time = time.time() - t_end
             state, loss, s = self.train_step(state, batch, rng)
             if step % cfg.train.log_every == 0:
@@ -198,7 +260,6 @@ class Trainer:
             losses.append(loss)
             sums = sums + s
             t_end = time.time()
-        it.close()
 
         metrics = finalize_metrics(sums)
         metrics["loss"] = float(jnp.mean(jnp.stack(losses)))
@@ -215,7 +276,7 @@ class Trainer:
             process_index=jax.process_index(),
             process_count=jax.process_count())
         # Eval sparse input must be deterministic: fixed seed, not step-dep.
-        rng = jax.device_put(jax.random.key(cfg.train.seed + 9999), self._rep)
+        rng = self._epoch_rng(9999)
         sums = MetricSums.zeros()
         n_img = 0
         t0 = time.time()

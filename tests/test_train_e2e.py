@@ -92,3 +92,26 @@ def test_full_fit_one_epoch(tmp_path):
     assert (tmp_path / "train.csv").exists()
     assert (tmp_path / "test.csv").exists()
     assert (tmp_path / "best.txt").exists()
+
+
+def test_mixed_dataset_training(tmp_path):
+    """BASELINE config 4 capability: NYU+KITTI-style mixed-resolution
+    batches interleaved into one training run (synthetic stand-ins)."""
+    cfg = get_config("synthetic_tiny").override(**{
+        "train.checkpoint_dir": str(tmp_path),
+        "train.steps_per_epoch": 4,
+        "train.batch_size": 2,
+        "data.height": 32, "data.width": 48,
+        "data.num_samples": 20, "data.num_workers": 2,
+        "data.mix_dataset": "synthetic",
+        "data.mix_height": 24, "data.mix_width": 32,
+        "data.mix_max_depth": 20.0, "data.mix_every": 2,
+    })
+    trainer = Trainer(cfg, workdir=str(tmp_path))
+    assert trainer.mix_ds is not None
+    shapes = {b["rgb"].shape for b in trainer._epoch_batches(0)}
+    assert shapes == {(2, 32, 48, 3), (2, 24, 32, 3)}
+
+    state = trainer.init_state()
+    state, metrics = trainer.train_epoch(state, 0, log=lambda *a: None)
+    assert np.isfinite(metrics["loss"])
