@@ -32,6 +32,7 @@ class DataConfig:
     height: int = 228
     width: int = 304
     num_samples: int = 500          # sparse samples (0 = none)
+    sampler: str = "uniform"        # uniform | stereo (SimulatedStereo)
     max_depth: float = 10.0         # meters (NYU); 85.0 for KITTI
     # Augmentation (SURVEY.md section 4.4 / R10)
     rotate_deg: float = 5.0

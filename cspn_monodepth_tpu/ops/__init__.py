@@ -4,7 +4,10 @@ from cspn_monodepth_tpu.ops.cspn_ref import (
     cspn_propagate_ref,
 )
 from cspn_monodepth_tpu.ops.cspn import cspn_propagate
-from cspn_monodepth_tpu.ops.sparse import uniform_sparse_sample
+from cspn_monodepth_tpu.ops.sparse import (
+    stereo_sparse_sample,
+    uniform_sparse_sample,
+)
 
 __all__ = [
     "NEIGHBOR_OFFSETS",
@@ -12,4 +15,5 @@ __all__ = [
     "cspn_propagate_ref",
     "cspn_propagate",
     "uniform_sparse_sample",
+    "stereo_sparse_sample",
 ]

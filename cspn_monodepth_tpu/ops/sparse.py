@@ -21,6 +21,46 @@ import jax.numpy as jnp
 
 
 @functools.partial(jax.jit, static_argnames=("num_samples",))
+def stereo_sparse_sample(
+    key: jax.Array,
+    dense_depth: jax.Array,
+    rgb: jax.Array,
+    num_samples: int,
+    max_depth: float | None = None,
+) -> jax.Array:
+    """Simulated-stereo sampling (`dense_to_sparse.py: SimulatedStereo`).
+
+    Stereo matching produces depth at textured/edge pixels, so instead of
+    uniform scores the per-pixel score is the local image-gradient
+    magnitude (plus a small random tiebreak); the num_samples highest-
+    scoring valid pixels are kept. Runs on device like uniform sampling.
+
+    rgb: (B, H, W, 3) in [0, 1].
+    """
+    squeeze = dense_depth.ndim == 4
+    d = dense_depth[..., 0] if squeeze else dense_depth
+    b, h, w = d.shape
+
+    valid = d > 0
+    if max_depth is not None:
+        valid &= d <= max_depth
+
+    gray = jnp.mean(rgb.astype(jnp.float32), axis=-1)
+    gy = jnp.abs(jnp.diff(gray, axis=1, append=gray[:, -1:, :]))
+    gx = jnp.abs(jnp.diff(gray, axis=2, append=gray[:, :, -1:]))
+    grad = gy + gx
+    tiebreak = jax.random.uniform(key, grad.shape, maxval=1e-4)
+    scores = jnp.where(valid, grad + tiebreak, -1.0)
+
+    flat = scores.reshape(b, h * w)
+    k = min(num_samples, h * w)
+    kth = jax.lax.top_k(flat, k)[0][:, -1]
+    keep = (scores >= kth[:, None, None]) & valid
+    out = jnp.where(keep, d, jnp.zeros_like(d))
+    return out[..., None] if squeeze else out
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples",))
 def uniform_sparse_sample(
     key: jax.Array,
     dense_depth: jax.Array,

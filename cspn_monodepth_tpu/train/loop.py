@@ -126,16 +126,22 @@ class Trainer:
             return sparse[..., None]
         return jnp.concatenate([rgb, sparse[..., None]], axis=-1)
 
-    def _sample_sparse(self, rng, depth):
-        if self.cfg.data.num_samples > 0:
-            cap = self.cfg.data.max_depth
-            if self.cfg.data.mix_dataset:
-                # One cap for both datasets: the looser one is a no-op for
-                # the shallower dataset (NYU <= 10 m is unaffected by 85 m).
-                cap = max(cap, self.cfg.data.mix_max_depth)
-            return uniform_sparse_sample(
-                rng, depth, self.cfg.data.num_samples, max_depth=cap)
-        return jnp.zeros_like(depth)
+    def _sample_sparse(self, rng, depth, rgb):
+        cfg = self.cfg
+        if cfg.data.num_samples <= 0:
+            return jnp.zeros_like(depth)
+        cap = cfg.data.max_depth
+        if cfg.data.mix_dataset:
+            # One cap for both datasets: the looser one is a no-op for
+            # the shallower dataset (NYU <= 10 m is unaffected by 85 m).
+            cap = max(cap, cfg.data.mix_max_depth)
+        if cfg.data.sampler == "stereo":
+            from cspn_monodepth_tpu.ops import stereo_sparse_sample
+
+            return stereo_sparse_sample(rng, depth, rgb,
+                                        cfg.data.num_samples, max_depth=cap)
+        return uniform_sparse_sample(
+            rng, depth, cfg.data.num_samples, max_depth=cap)
 
     # ---------------------------------------------------------- jit steps
     def _compile_steps(self):
@@ -143,7 +149,7 @@ class Trainer:
 
         def train_step(state: TrainState, batch, rng):
             rng = jax.random.fold_in(rng, state.step)
-            sparse = self._sample_sparse(rng, batch["depth"])
+            sparse = self._sample_sparse(rng, batch["depth"], batch["rgb"])
             x = self._assemble_input(batch["rgb"], sparse)
             target = batch["depth"][..., None]
 
@@ -160,7 +166,7 @@ class Trainer:
             return new_state, loss, sums
 
         def eval_step(state: TrainState, batch, rng):
-            sparse = self._sample_sparse(rng, batch["depth"])
+            sparse = self._sample_sparse(rng, batch["depth"], batch["rgb"])
             x = self._assemble_input(batch["rgb"], sparse)
             pred = self.model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},

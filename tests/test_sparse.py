@@ -52,3 +52,26 @@ def test_channel_dim_passthrough():
     out = uniform_sparse_sample(jax.random.key(5), dense, 10)
     assert out.shape == dense.shape
     assert int((np.asarray(out) > 0).sum()) == 20
+
+
+def test_stereo_sampler_prefers_edges():
+    from cspn_monodepth_tpu.ops import stereo_sparse_sample
+
+    dense = jnp.ones((1, 24, 24)) * 5.0
+    rgb = jnp.zeros((1, 24, 24, 3))
+    rgb = rgb.at[0, :, 12:, :].set(1.0)  # vertical edge at column 12
+    out = np.asarray(stereo_sparse_sample(jax.random.key(0), dense, rgb, 20))
+    assert (out > 0).sum() == 20
+    ys, xs = np.nonzero(out[0])
+    # the gradient column (11, where diff fires) should dominate
+    assert (np.abs(xs - 11) <= 1).mean() > 0.9
+
+
+def test_stereo_sampler_respects_validity():
+    from cspn_monodepth_tpu.ops import stereo_sparse_sample
+
+    dense = jnp.ones((1, 16, 16)) * 5.0
+    dense = dense.at[0, :8].set(0.0)
+    rgb = jax.random.uniform(jax.random.key(1), (1, 16, 16, 3))
+    out = np.asarray(stereo_sparse_sample(jax.random.key(2), dense, rgb, 30))
+    assert (out[0, :8] == 0).all() and (out > 0).sum() == 30
