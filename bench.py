@@ -39,10 +39,17 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     n_chain = int(os.environ.get("BENCH_ITERS", "10"))
-    cfg = get_config("nyu_completion_500").override(**{
+    # BENCH_CONFIG selects any named config (e.g. kitti_1216); the mesh is
+    # clamped to the available devices so the KITTI config's 2x4 mesh runs
+    # single-chip (spatial sharding itself is covered by tests/CPU mesh).
+    config_name = os.environ.get("BENCH_CONFIG", "nyu_completion_500")
+    n_dev = jax.device_count()
+    cfg = get_config(config_name).override(**{
         "data.dataset": "synthetic",     # bench feeds random tensors anyway
         "train.batch_size": batch,
         "train.steps_per_epoch": 1,
+        "mesh.data": min(get_config(config_name).mesh.data, n_dev),
+        "mesh.spatial": 1 if n_dev == 1 else get_config(config_name).mesh.spatial,
     })
     trainer = Trainer(cfg, workdir="/tmp/cspn_bench")
     state = trainer.init_state()
@@ -105,8 +112,10 @@ def main():
         if base.get("combined_ips"):
             vs_baseline = combined / base["combined_ips"]
 
+    label = ("NYU 304x228" if "nyu" in config_name else
+             f"{config_name} {cfg.data.width}x{cfg.data.height}")
     print(json.dumps({
-        "metric": ("train+infer images/s/chip, NYU 304x228 rgbd, "
+        "metric": (f"train+infer images/s/chip, {label} rgbd, "
                    "ResNet50-UNet + 24-iter CSPN"),
         "value": round(combined, 2),
         "unit": "images/s/chip",

@@ -25,8 +25,26 @@ from collections.abc import Iterator
 import numpy as np
 
 
+DEPTH_SCALE = 256.0  # uint16 depth wire format: 1/256 m resolution, 256 m max
+
+
 def _stack(records: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
     return {k: np.stack([r[k] for r in records]) for k in records[0]}
+
+
+def pack_batch(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Compact wire format for host->device transfer: rgb as uint8, depth
+    as uint16 (1/256 m, ~4 mm resolution) — 3.2x fewer bytes than float32.
+    Decoded on device by Trainer._unpack inside the jit step. Matters on
+    PCIe and enormously on tunneled transports."""
+    out = dict(batch)
+    if batch["rgb"].dtype != np.uint8:
+        out["rgb"] = np.clip(batch["rgb"] * 255.0 + 0.5, 0, 255).astype(
+            np.uint8)
+    if batch["depth"].dtype != np.uint16:
+        out["depth"] = np.clip(batch["depth"] * DEPTH_SCALE + 0.5, 0,
+                               65535).astype(np.uint16)
+    return out
 
 
 class _PrefetchIterator:
@@ -92,7 +110,7 @@ def make_train_iterator(
         idx = [perm[(base + process_index * local_batch + i) % len(perm)]
                for i in range(local_batch)]
         records = list(pool.map(lambda j: dataset.get(int(j), epoch), idx))
-        return _stack(records)
+        return pack_batch(_stack(records))
 
     return _PrefetchIterator(make_batch, num_batches, prefetch)
 
@@ -161,6 +179,7 @@ def make_eval_iterator(
         # padding images get an all-invalid target => excluded from metrics
         v = np.asarray(valid, np.float32)
         batch["depth"] = batch["depth"] * v[:, None, None]
+        batch = pack_batch(batch)
         batch["valid_image"] = v
         return batch
 

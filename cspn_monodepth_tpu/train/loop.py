@@ -117,6 +117,20 @@ class Trainer:
             jax.random.PRNGKey(self.cfg.train.seed + tag))
 
     # ---------------------------------------------------------- model io
+    @staticmethod
+    def _unpack(batch):
+        """Decode the compact wire format (data/pipeline.py pack_batch) on
+        device: uint8 rgb -> [0,1] f32, uint16 depth -> meters f32. Float
+        batches (tests, bench) pass through unchanged."""
+        from cspn_monodepth_tpu.data.pipeline import DEPTH_SCALE
+
+        out = dict(batch)
+        if batch["rgb"].dtype == jnp.uint8:
+            out["rgb"] = batch["rgb"].astype(jnp.float32) / 255.0
+        if batch["depth"].dtype == jnp.uint16:
+            out["depth"] = batch["depth"].astype(jnp.float32) / DEPTH_SCALE
+        return out
+
     def _assemble_input(self, rgb, sparse):
         """Stack per-modality input channels (SURVEY.md section 3.1)."""
         modality = self.cfg.model.modality
@@ -148,6 +162,7 @@ class Trainer:
         cfg = self.cfg
 
         def train_step(state: TrainState, batch, rng):
+            batch = self._unpack(batch)
             rng = jax.random.fold_in(rng, state.step)
             sparse = self._sample_sparse(rng, batch["depth"], batch["rgb"])
             x = self._assemble_input(batch["rgb"], sparse)
@@ -166,6 +181,7 @@ class Trainer:
             return new_state, loss, sums
 
         def eval_step(state: TrainState, batch, rng):
+            batch = self._unpack(batch)
             sparse = self._sample_sparse(rng, batch["depth"], batch["rgb"])
             x = self._assemble_input(batch["rgb"], sparse)
             pred = self.model.apply(
@@ -308,10 +324,16 @@ class Trainer:
         (SURVEY.md R13) for the first few eval images."""
         from cspn_monodepth_tpu.utils.logging import merge_into_row, save_image
 
+        from cspn_monodepth_tpu.data.pipeline import DEPTH_SCALE
+
         try:
             pred_np = np.asarray(jax.device_get(pred))[..., 0]
-            rgb = batch["rgb"]
-            depth = batch["depth"]
+            rgb = np.asarray(batch["rgb"])
+            depth = np.asarray(batch["depth"])
+            if rgb.dtype == np.uint8:           # compact wire format
+                rgb = rgb.astype(np.float32) / 255.0
+            if depth.dtype == np.uint16:
+                depth = depth.astype(np.float32) / DEPTH_SCALE
             rows = [merge_into_row(rgb[i], None, depth[i], pred_np[i])
                     for i in range(min(4, rgb.shape[0]))]
             tag = "latest" if epoch is None else f"epoch{epoch:03d}"
