@@ -157,11 +157,23 @@ class SyntheticDataset:
         self.split = split
         self.seed = seed if split == "train" else seed + 10_000
         self.length = length
+        self._cache: dict[int, dict[str, np.ndarray]] = {}
 
     def __len__(self) -> int:
         return self.length
 
     def get(self, index: int, epoch: int = 0) -> dict[str, np.ndarray]:
+        # Records are deterministic in (seed, index) — cache them so
+        # synthetic benchmarks/demos aren't bound by numpy generation.
+        cached = self._cache.get(index)
+        if cached is not None:
+            return cached
+        rec = self._generate(index)
+        if len(self._cache) < 4096:
+            self._cache[index] = rec
+        return rec
+
+    def _generate(self, index: int) -> dict[str, np.ndarray]:
         c = self.cfg
         h, w = c.height, c.width
         rng = np.random.default_rng(
