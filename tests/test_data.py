@@ -2,6 +2,7 @@
 generated fixture files, transforms, and the batch iterator."""
 
 import h5py
+import os
 import numpy as np
 import pytest
 
@@ -142,3 +143,53 @@ def test_eval_iterator_pads_and_masks():
     assert batches[1]["valid_image"].tolist() == [1.0, 0.0, 0.0, 0.0]
     # padded images have all-invalid depth => excluded from metric sums
     assert (batches[1]["depth"][1:] == 0).all()
+
+
+def test_prepare_kitti_converter(tmp_path):
+    """tools/prepare_kitti.py: raw pngs (uint16 depth/256 convention) ->
+    npz layout consumed by KITTIDataset."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from PIL import Image
+    from tools.prepare_kitti import convert, read_depth_png
+
+    rng = np.random.default_rng(7)
+    drive = "2011_09_26_drive_0001_sync"
+    rgb_dir = tmp_path / "raw" / drive / "image_02" / "data"
+    dep_dir = (tmp_path / "ann" / drive / "proj_depth" / "groundtruth"
+               / "image_02")
+    rgb_dir.mkdir(parents=True)
+    dep_dir.mkdir(parents=True)
+    h, w = 64, 128
+    for i in range(3):
+        rgb = rng.integers(0, 255, (h, w, 3), np.uint8)
+        Image.fromarray(rgb).save(rgb_dir / f"{i:010d}.png")
+        if i < 2:  # frame 2 has no depth -> must be skipped
+            d16 = np.zeros((h, w), np.uint16)
+            d16[h // 2:, :] = (rng.uniform(1, 80, (h // 2, w)) * 256).astype(
+                np.uint16)
+            Image.fromarray(d16).save(dep_dir / f"{i:010d}.png")
+
+    out = tmp_path / "npz"
+    written, skipped = convert(str(tmp_path / "raw"), str(tmp_path / "ann"),
+                               str(out), cameras=("image_02",))
+    assert written == 2 and skipped == 1
+    files = sorted(out.iterdir())
+    data = np.load(files[0])
+    assert data["rgb"].shape == (h, w, 3) and data["rgb"].dtype == np.uint8
+    assert data["depth"].dtype == np.float32
+    # uint16/256 round trip
+    d = read_depth_png(str(dep_dir / "0000000000.png"))
+    assert 0 < d.max() <= 80.01 and (d[: h // 2] == 0).all()
+
+    # the produced npz set is loadable by KITTIDataset
+    cfg = DataConfig(dataset="kitti", root=str(tmp_path / "kitti_ds"),
+                     height=32, width=96, max_depth=85.0)
+    split = tmp_path / "kitti_ds" / "val"
+    split.mkdir(parents=True)
+    for f in files:
+        os.replace(f, split / f.name)
+    import cspn_monodepth_tpu.data.datasets as D
+    ds = D.KITTIDataset(cfg, "val")
+    rec = ds.get(0)
+    assert rec["rgb"].shape == (32, 96, 3)
