@@ -106,7 +106,9 @@ def main():
 
     vs_baseline = None
     base_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
-    if os.path.exists(base_path):
+    if "nyu" not in config_name:
+        base_path = ""                  # baseline was measured at NYU shape
+    if base_path and os.path.exists(base_path):
         with open(base_path) as f:
             base = json.load(f)
         if base.get("combined_ips"):
