@@ -18,8 +18,12 @@ class ModelConfig:
     norm_type: str = "8sum_clamp"   # 8sum | 8sum_abs | 8sum_clamp
     cspn_impl: str = "auto"         # auto | pallas | jnp
     dtype: str = "bfloat16"         # encoder/decoder compute dtype
-    # Architecture (defaults = ResNet-50 UNet, the reference headline):
+    # Architecture (defaults = ResNet-50 UNet, the reference headline).
+    # arch: resnet18 | resnet34 | resnet50 preset, or "" to use the
+    # explicit stage/block fields below (tiny test archs).
+    arch: str = "resnet50"
     encoder_stages: tuple = (3, 4, 6, 3)
+    encoder_block: str = "bottleneck"
     encoder_width: int = 64
     decoder_channels: tuple = (512, 256, 128, 64)
     decoder_out: int = 64
@@ -148,6 +152,7 @@ CONFIGS: dict[str, Config] = {
            "data.num_samples": 50, "model.num_iters": 4,
            "train.batch_size": 2, "train.epochs": 1,
            "train.steps_per_epoch": 4, "model.cspn_impl": "jnp",
+           "model.arch": "",
            "model.encoder_stages": (1, 1, 1, 1), "model.encoder_width": 16,
            "model.decoder_channels": (32, 24, 16, 16),
            "model.decoder_out": 16}),

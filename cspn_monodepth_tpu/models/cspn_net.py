@@ -37,7 +37,12 @@ class CSPNDepthNet(nn.Module):
     norm_type: str = "8sum_clamp"
     cspn_impl: str = "auto"
     dtype: jnp.dtype = jnp.bfloat16
+    # Encoder family: "resnet18" | "resnet34" | "resnet50" presets
+    # (models/resnet.py ARCHS), or None to use the explicit
+    # encoder_stages/encoder_block fields (tiny test archs).
+    arch: str | None = "resnet50"
     encoder_stages: tuple = (3, 4, 6, 3)    # ResNet-50
+    encoder_block: str = "bottleneck"
     encoder_width: int = 64
     decoder_channels: tuple = (512, 256, 128, 64)
     decoder_out: int = 64
@@ -61,8 +66,14 @@ class CSPNDepthNet(nn.Module):
             raise ValueError(f"unknown modality: {self.modality!r}")
 
         h, w = x.shape[1:3]
+        if self.arch is not None:
+            from cspn_monodepth_tpu.models.resnet import ARCHS
+            stages, block = ARCHS[self.arch]
+        else:
+            stages, block = tuple(self.encoder_stages), self.encoder_block
         skips = ResNetEncoder(
-            stage_sizes=tuple(self.encoder_stages),
+            stage_sizes=stages,
+            block=block,
             width=self.encoder_width,
             dtype=self.dtype, name="encoder")(x, train=train)
         feat = UpProjDecoder(

@@ -59,16 +59,56 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+class BasicBlock(nn.Module):
+    """3x3 -> 3x3 basic residual block (ResNet-18/34 variants; the upstream
+    CSPN repo ships both a resnet18 and a resnet50 model)."""
+
+    channels: int            # output channels (1x expansion)
+    strides: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        conv = lambda c, k, s, name: nn.Conv(  # noqa: E731
+            c, (k, k), strides=(s, s),
+            padding=((k // 2, k // 2), (k // 2, k // 2)), use_bias=False,
+            dtype=self.dtype, name=name)
+        bn = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name)
+
+        residual = x
+        y = nn.relu(bn("bn1")(conv(self.channels, 3, self.strides, "conv1")(x)))
+        y = bn("bn2")(conv(self.channels, 3, 1, "conv2")(y))
+
+        if residual.shape != y.shape:
+            residual = bn("bn_proj")(
+                conv(self.channels, 1, self.strides, "conv_proj")(x))
+        return nn.relu(y + residual)
+
+
+# arch name -> (stage_sizes, block kind). Expansion is 1 for basic, 4 for
+# bottleneck, so skip widths are 64/128/256/512 (r18/34) vs 256/.../2048.
+ARCHS = {
+    "resnet18": ((2, 2, 2, 2), "basic"),
+    "resnet34": ((3, 4, 6, 3), "basic"),
+    "resnet50": ((3, 4, 6, 3), "bottleneck"),
+}
+
+
 class ResNetEncoder(nn.Module):
     """ResNet-v1 encoder returning the skip pyramid.
 
     Returns (stem, c1, c2, c3, c4):
       stem: /2, 64ch (post conv1+BN+ReLU, pre-pool)
-      c1..c4: /4, /8, /16, /32 with 256/512/1024/2048 channels (ResNet-50).
+      c1..c4: /4, /8, /16, /32 with 256/512/1024/2048 channels for
+      bottleneck blocks (ResNet-50) or 64/128/256/512 for basic blocks
+      (ResNet-18/34).
     """
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)   # ResNet-50
     width: int = 64
+    block: str = "bottleneck"                   # "bottleneck" | "basic"
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -84,11 +124,12 @@ class ResNetEncoder(nn.Module):
         x = nn.max_pool(stem, (3, 3), strides=(2, 2),
                         padding=((1, 1), (1, 1)))
 
+        block_cls = {"bottleneck": Bottleneck, "basic": BasicBlock}[self.block]
         skips = [stem]
         for stage, num_blocks in enumerate(self.stage_sizes):
             for block in range(num_blocks):
                 strides = 2 if stage > 0 and block == 0 else 1
-                x = Bottleneck(
+                x = block_cls(
                     channels=self.width * (2 ** stage),
                     strides=strides,
                     dtype=self.dtype,

@@ -25,12 +25,19 @@ def _conv(w) -> np.ndarray:
     return np.transpose(np.asarray(w, np.float32), (2, 3, 1, 0))
 
 
-def convert_torch_resnet50(state_dict, in_channels: int = 3):
+def convert_torch_resnet(state_dict, in_channels: int = 3,
+                         arch: str = "resnet50"):
     """Return (params, batch_stats) pytrees for ResNetEncoder.
 
-    state_dict: a mapping name -> tensor/ndarray in torchvision ResNet-50
-    layout (torch tensors or numpy arrays both work).
+    state_dict: a mapping name -> tensor/ndarray in torchvision ResNet
+    layout (torch tensors or numpy arrays both work). arch selects the
+    stage sizes and block kind (resnet18/34 = basic 2-conv blocks,
+    resnet50 = bottleneck 3-conv blocks), matching models/resnet.py ARCHS.
     """
+    from cspn_monodepth_tpu.models.resnet import ARCHS
+
+    stage_sizes, block = ARCHS[arch]
+    n_convs = {"basic": 2, "bottleneck": 3}[block]
     sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
                         else v) for k, v in state_dict.items()}
     params: dict = {}
@@ -53,20 +60,19 @@ def convert_torch_resnet50(state_dict, in_channels: int = 3):
     params["conv1"] = {"kernel": w1}
     put_bn("bn1", "bn1")
 
-    stage_sizes = (3, 4, 6, 3)
     for stage, n_blocks in enumerate(stage_sizes, start=1):
-        for block in range(n_blocks):
-            src = f"layer{stage}.{block}"
-            dst = f"layer{stage}_block{block}"
+        for blk in range(n_blocks):
+            src = f"layer{stage}.{blk}"
+            dst = f"layer{stage}_block{blk}"
             blk_p: dict = {}
-            for i in (1, 2, 3):
+            for i in range(1, n_convs + 1):
                 blk_p[f"conv{i}"] = {"kernel": _conv(sd[f"{src}.conv{i}.weight"])}
             if f"{src}.downsample.0.weight" in sd:
                 blk_p["conv_proj"] = {
                     "kernel": _conv(sd[f"{src}.downsample.0.weight"])}
             params[dst] = blk_p
             sub_stats: dict = {}
-            for i in (1, 2, 3):
+            for i in range(1, n_convs + 1):
                 b = f"{src}.bn{i}"
                 blk_p[f"bn{i}"] = {"scale": sd[f"{b}.weight"].astype(np.float32),
                                    "bias": sd[f"{b}.bias"].astype(np.float32)}
@@ -84,8 +90,14 @@ def convert_torch_resnet50(state_dict, in_channels: int = 3):
     return params, stats
 
 
-def load_pretrained_encoder(variables, path_or_state_dict, in_channels=3):
-    """Graft torchvision ResNet-50 weights into a CSPNDepthNet/encoder
+# Backward-compatible alias (resnet50 was the original only arch).
+def convert_torch_resnet50(state_dict, in_channels: int = 3):
+    return convert_torch_resnet(state_dict, in_channels, arch="resnet50")
+
+
+def load_pretrained_encoder(variables, path_or_state_dict, in_channels=3,
+                            arch: str = "resnet50"):
+    """Graft torchvision ResNet weights into a CSPNDepthNet/encoder
     variables pytree (returns a new pytree; decoder/head params untouched).
     """
     if isinstance(path_or_state_dict, (str, bytes)):
@@ -95,7 +107,7 @@ def load_pretrained_encoder(variables, path_or_state_dict, in_channels=3):
                         weights_only=True)
     else:
         sd = path_or_state_dict
-    params, stats = convert_torch_resnet50(sd, in_channels)
+    params, stats = convert_torch_resnet(sd, in_channels, arch=arch)
 
     def merge(base, overlay, path=""):
         """Recursively replace leaves of `base` with `overlay` (shape-checked),

@@ -64,7 +64,9 @@ class Trainer:
             norm_type=cfg.model.norm_type,
             cspn_impl=cfg.model.cspn_impl,
             dtype=jnp.dtype(cfg.model.dtype),
+            arch=cfg.model.arch or None,
             encoder_stages=tuple(cfg.model.encoder_stages),
+            encoder_block=cfg.model.encoder_block,
             encoder_width=cfg.model.encoder_width,
             decoder_channels=tuple(cfg.model.decoder_channels),
             decoder_out=cfg.model.decoder_out,

@@ -9,7 +9,7 @@ from cspn_monodepth_tpu.models import CSPNDepthNet, ResNetEncoder
 
 # Tiny architecture for fast XLA-CPU compiles; the full ResNet-50 arch is
 # covered by eval_shape-based tests (no compile) and by the TPU benchmarks.
-TINY = dict(encoder_stages=(1, 1, 1, 1), encoder_width=16,
+TINY = dict(arch=None, encoder_stages=(1, 1, 1, 1), encoder_width=16,
             decoder_channels=(32, 24, 16, 16), decoder_out=16)
 
 
@@ -85,3 +85,43 @@ def test_model_train_mode_updates_batch_stats():
     after = jax.tree.leaves(mut["batch_stats"])
     assert any(not np.allclose(np.asarray(a), np.asarray(b))
                for a, b in zip(before, after))
+
+
+def test_encoder_resnet18_pyramid_shapes():
+    """ResNet-18 (basic-block) pyramid: 64/128/256/512 skips, same strides.
+
+    The upstream CSPN repo ships resnet18 and resnet50 model variants."""
+    from cspn_monodepth_tpu.models.resnet import ARCHS
+
+    stages, block = ARCHS["resnet18"]
+    enc = ResNetEncoder(stage_sizes=stages, block=block, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 96, 3))
+    variables = jax.eval_shape(lambda: enc.init(jax.random.key(0), x,
+                                                train=False))
+    stem, c1, c2, c3, c4 = jax.eval_shape(
+        lambda v, xx: enc.apply(v, xx, train=False), variables, x)
+    assert stem.shape == (1, 32, 48, 64)
+    assert c1.shape == (1, 16, 24, 64)
+    assert c2.shape == (1, 8, 12, 128)
+    assert c3.shape == (1, 4, 6, 256)
+    assert c4.shape == (1, 2, 3, 512)
+
+
+def test_model_arch_resnet18_param_count():
+    """resnet18 full model must be much smaller than resnet50's (~11M
+    backbone vs ~23.5M) and still run end-to-end via eval_shape."""
+    m18 = CSPNDepthNet(modality="rgbd", num_iters=1, cspn_impl="jnp",
+                       dtype=jnp.float32, arch="resnet18")
+    m50 = CSPNDepthNet(modality="rgbd", num_iters=1, cspn_impl="jnp",
+                       dtype=jnp.float32, arch="resnet50")
+    x = jnp.zeros((1, 32, 48, 4))
+
+    def count(m):
+        v = jax.eval_shape(lambda: m.init(jax.random.key(0), x, train=False))
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
+
+    n18, n50 = count(m18), count(m50)
+    assert n18 < 0.7 * n50, (n18, n50)
+    out = jax.eval_shape(
+        lambda: m18.init(jax.random.key(0), x, train=False))
+    assert "encoder" in out["params"]

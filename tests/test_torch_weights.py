@@ -138,3 +138,82 @@ def test_load_pretrained_encoder_full_model():
     # decoder untouched (still zeros)
     dec = new["params"]["decoder"]
     assert float(np.abs(jax.tree.leaves(dec)[0]).max()) == 0.0
+
+
+class _TorchBasicBlock(torch.nn.Module):
+    """torchvision BasicBlock (conv1/bn1/conv2/bn2 + downsample)."""
+
+    def __init__(self, cin, w, stride=1):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(cin, w, 3, stride, 1, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(w)
+        self.conv2 = torch.nn.Conv2d(w, w, 3, 1, 1, bias=False)
+        self.bn2 = torch.nn.BatchNorm2d(w)
+        self.downsample = None
+        if stride != 1 or cin != w:
+            self.downsample = torch.nn.Sequential(
+                torch.nn.Conv2d(cin, w, 1, stride, bias=False),
+                torch.nn.BatchNorm2d(w))
+
+    def forward(self, x):
+        idn = x if self.downsample is None else self.downsample(x)
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return F.relu(y + idn)
+
+
+class _TorchEncoder18(torch.nn.Module):
+    """torchvision-structured ResNet-18 encoder."""
+
+    def __init__(self, in_ch=3):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(in_ch, 64, 7, 2, 3, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(64)
+        widths, blocks = [64, 128, 256, 512], [2, 2, 2, 2]
+        cin = 64
+        for i, (w, nb) in enumerate(zip(widths, blocks), start=1):
+            stage = []
+            for b in range(nb):
+                stride = 2 if i > 1 and b == 0 else 1
+                stage.append(_TorchBasicBlock(cin, w, stride))
+                cin = w
+            setattr(self, f"layer{i}", torch.nn.Sequential(*stage))
+
+    def forward(self, x):
+        stem = F.relu(self.bn1(self.conv1(x)))
+        y = F.max_pool2d(stem, 3, 2, 1)
+        outs = [stem]
+        for i in range(1, 5):
+            y = getattr(self, f"layer{i}")(y)
+            outs.append(y)
+        return outs
+
+
+def test_encoder18_matches_torch_with_ported_weights():
+    from cspn_monodepth_tpu.models.resnet import ARCHS
+    from cspn_monodepth_tpu.models.torch_weights import convert_torch_resnet
+
+    torch.manual_seed(2)
+    tenc = _TorchEncoder18().eval()
+    with torch.no_grad():
+        for m in tenc.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+
+    stages, block = ARCHS["resnet18"]
+    enc = ResNetEncoder(stage_sizes=stages, block=block, dtype=jnp.float32)
+    x_np = np.random.default_rng(3).random((1, 64, 96, 3)).astype(np.float32)
+    variables = enc.init(jax.random.key(0), jnp.asarray(x_np), train=False)
+    params, stats = convert_torch_resnet(tenc.state_dict(), in_channels=3,
+                                         arch="resnet18")
+    merged = {"params": __merge(variables["params"], params),
+              "batch_stats": __merge(variables["batch_stats"], stats)}
+    got = enc.apply(merged, jnp.asarray(x_np), train=False)
+
+    with torch.no_grad():
+        want = tenc(torch.from_numpy(np.transpose(x_np, (0, 3, 1, 2))))
+    for lvl, (g, w) in enumerate(zip(got, want)):
+        w_np = np.transpose(w.numpy(), (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(g), w_np, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"pyramid level {lvl}")
