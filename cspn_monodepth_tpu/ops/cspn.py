@@ -27,8 +27,10 @@ def _on_tpu() -> bool:
 # The fused kernel keeps ~13 (H, W) f32 planes resident in VMEM (8 raw
 # gates in the input window, 8 normalized + center + depth pad + sparse +
 # mask as values). Above this budget (e.g. KITTI 1216x352) route to the
-# jnp scan, which XLA tiles automatically; the spatially-sharded path
-# (parallel/halo.py) shrinks per-device planes back under the budget.
+# H-tiled multi-launch kernel (cspn_propagate_pallas_tiled), which fuses
+# halo_k iterations per launch on (tile_h + 2k)-row slabs; the
+# spatially-sharded path (parallel/halo.py) shrinks per-device planes
+# back under the whole-plane budget.
 _VMEM_PLANE_BUDGET_BYTES = 10 * 1024 * 1024
 
 
@@ -47,16 +49,29 @@ def cspn_propagate(
 ) -> jax.Array:
     """Refine blur_depth by CSPN propagation. See cspn_propagate_ref.
 
-    impl: "auto" (pallas on TPU when the image fits the VMEM budget, jnp
-    elsewhere), "pallas", or "jnp".
+    impl: "auto" (on TPU: whole-plane pallas kernel when the image fits the
+    VMEM budget, H-tiled pallas kernel otherwise; jnp on other backends),
+    "pallas", "pallas_tiled", or "jnp".
     """
     if impl == "auto":
         h, w = guidance.shape[1:3]
-        impl = "pallas" if _on_tpu() and _fits_vmem(h, w) else "jnp"
+        if _on_tpu():
+            impl = "pallas" if _fits_vmem(h, w) else "pallas_tiled"
+        else:
+            impl = "jnp"
     if impl == "pallas":
         from cspn_monodepth_tpu.ops.cspn_pallas import cspn_propagate_pallas
 
         return cspn_propagate_pallas(
+            guidance, blur_depth, sparse_depth,
+            num_iters=num_iters, norm_type=norm_type,
+        )
+    if impl == "pallas_tiled":
+        from cspn_monodepth_tpu.ops.cspn_pallas import (
+            cspn_propagate_pallas_tiled,
+        )
+
+        return cspn_propagate_pallas_tiled(
             guidance, blur_depth, sparse_depth,
             num_iters=num_iters, norm_type=norm_type,
         )

@@ -39,17 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 from cspn_monodepth_tpu.ops.cspn_ref import NEIGHBOR_OFFSETS, cspn_propagate_ref
 
 
-def _cspn_kernel(guid_ref, blur_ref, sparse_ref, out_ref, dpad_ref, *,
-                 num_iters: int, norm_type: str, has_sparse: bool,
-                 eps: float = 1e-8):
-    """One batch element: guid (8, H, W), blur/sparse/out (H, W).
-
-    dpad_ref: (H+2, W+2) VMEM scratch holding the zero-padded depth plane
-    carried across iterations.
-    """
-    h, w = blur_ref.shape
-
-    g = guid_ref[...]                       # (8, H, W)
+def _normalize_gates(g, norm_type: str, eps: float = 1e-8):
+    """Raw affinities (8, H, W) -> (gates (8, H, W), gate_center (H, W))."""
     if norm_type == "8sum_abs":
         g = jnp.abs(g)
     abs_sum = jnp.sum(jnp.abs(g), axis=0)   # (H, W)
@@ -57,15 +48,13 @@ def _cspn_kernel(guid_ref, blur_ref, sparse_ref, out_ref, dpad_ref, *,
     inv = 1.0 / jnp.maximum(abs_sum, floor)
     gates = g * inv[None]                   # (8, H, W), signed
     gate_center = 1.0 - jnp.sum(gates, axis=0)
+    return gates, gate_center
 
-    d0 = blur_ref[...]
-    if has_sparse:
-        sp = sparse_ref[...]
-        m = (sp > 0).astype(d0.dtype)
-        d0 = (1.0 - m) * d0 + m * sp        # anchor d^0 (matches jnp ref)
 
-    dpad_ref[...] = jnp.zeros((h + 2, w + 2), d0.dtype)
-    dpad_ref[1:h + 1, 1:w + 1] = d0
+def _run_stencil(dpad_ref, gate_center, gates, sp, m, h: int, w: int,
+                 num_iters: int, has_sparse: bool):
+    """num_iters in-VMEM stencil iterations on dpad_ref ((h+2, w+2),
+    zero-bordered); gates (8, h, w), gate_center (h, w), sp/m (h, w)."""
 
     def body(_, carry):
         # Group the 9 taps by lane shift (dx): one lane-offset slice per
@@ -85,6 +74,31 @@ def _cspn_kernel(guid_ref, blur_ref, sparse_ref, out_ref, dpad_ref, *,
         return carry
 
     lax.fori_loop(0, num_iters, body, 0, unroll=False)
+
+
+def _cspn_kernel(guid_ref, blur_ref, sparse_ref, out_ref, dpad_ref, *,
+                 num_iters: int, norm_type: str, has_sparse: bool):
+    """One batch element: guid (8, H, W), blur/sparse/out (H, W).
+
+    dpad_ref: (H+2, W+2) VMEM scratch holding the zero-padded depth plane
+    carried across iterations.
+    """
+    h, w = blur_ref.shape
+
+    gates, gate_center = _normalize_gates(guid_ref[...], norm_type)
+
+    d0 = blur_ref[...]
+    sp = m = None
+    if has_sparse:
+        sp = sparse_ref[...]
+        m = (sp > 0).astype(d0.dtype)
+        d0 = (1.0 - m) * d0 + m * sp        # anchor d^0 (matches jnp ref)
+
+    dpad_ref[...] = jnp.zeros((h + 2, w + 2), d0.dtype)
+    dpad_ref[1:h + 1, 1:w + 1] = d0
+
+    _run_stencil(dpad_ref, gate_center, gates, sp, m, h, w, num_iters,
+                 has_sparse)
     out_ref[...] = dpad_ref[1:h + 1, 1:w + 1]
 
 
@@ -189,5 +203,230 @@ def cspn_propagate_pallas(
 
     out = _cspn_pallas(guidance, d0, sp, num_iters, norm_type, has_sparse,
                        interpret)
+    out = out.astype(d0.dtype)
+    return out[..., None] if squeeze else out
+
+
+# --------------------------------------------------------------------------
+# Tiled multi-launch path for images beyond the whole-plane VMEM budget
+# (KITTI 1216x352 on a single chip). The image is tiled along H; each
+# launch fuses `halo_k` iterations per tile on a (tile_h + 2k)-row slab
+# (recompute-in-halo, same amortization as parallel/halo.py), and a short
+# Python loop of launches covers all T iterations. HBM traffic is
+# ~ceil(T/k) x 11 planes instead of the jnp scan's T x 11.
+#
+# Overlapping slabs cannot be expressed with BlockSpec index maps (offsets
+# are block-aligned), so inputs stay in HBM (memory_space ANY) and each
+# program DMAs its own halo'd slab into VMEM scratch.
+# --------------------------------------------------------------------------
+
+
+def _cspn_tiled_kernel(gates9_ref, d_ref, sp_ref, out_ref,
+                       g_vmem, d_vmem, sp_vmem, dpad_ref,
+                       sem_g, sem_d, sem_sp, *,
+                       iters: int, k: int, tile_h: int, w: int,
+                       has_sparse: bool):
+    """Program (b, t): DMA a (tile_h + 2k)-row slab at row t*tile_h from the
+    k-padded HBM inputs, run `iters` stencil iterations in VMEM, write back
+    the tile interior.
+
+    gates9_ref: (B, 9, Ht+2k, W) HBM — prenormalized [center, 8 neighbors],
+    zero in all pad rows (so pad rows stay zero through iterations, matching
+    the global zero-padding semantics). d_ref/sp_ref: (B, Ht+2k, W) HBM.
+    out_ref: (1, tile_h, W) VMEM block. Scratches g_vmem (9, slab, W),
+    d_vmem/sp_vmem (slab, W), dpad (slab+2, W+2).
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    slab = tile_h + 2 * k
+    row0 = t * tile_h                       # in padded coords: interior - k
+
+    cp_g = pltpu.make_async_copy(
+        gates9_ref.at[b, :, pl.ds(row0, slab), :], g_vmem, sem_g)
+    cp_d = pltpu.make_async_copy(
+        d_ref.at[b, pl.ds(row0, slab), :], d_vmem, sem_d)
+    cp_g.start()
+    cp_d.start()
+    if has_sparse:
+        cp_sp = pltpu.make_async_copy(
+            sp_ref.at[b, pl.ds(row0, slab), :], sp_vmem, sem_sp)
+        cp_sp.start()
+        cp_sp.wait()
+    cp_g.wait()
+    cp_d.wait()
+
+    gates9 = g_vmem[...]
+    gate_center, gates = gates9[0], gates9[1:]
+    sp = m = None
+    if has_sparse:
+        sp = sp_vmem[...]
+        m = (sp > 0).astype(jnp.float32)
+        # d^0 arrives pre-anchored from the host-side launch loop.
+
+    dpad_ref[...] = jnp.zeros((slab + 2, w + 2), jnp.float32)
+    dpad_ref[1:slab + 1, 1:w + 1] = d_vmem[...]
+    _run_stencil(dpad_ref, gate_center, gates, sp, m, slab, w, iters,
+                 has_sparse)
+    out_ref[0] = dpad_ref[1 + k:1 + k + tile_h, 1:w + 1]
+
+
+def _tiled_launch(gates9_pad, d, sp_pad, *, iters, k, tile_h, has_sparse,
+                  interpret):
+    """One round: d (B, Ht, W) -> (B, Ht, W) after `iters` iterations."""
+    b, ht, w = d.shape
+    n_tiles = ht // tile_h
+    slab = tile_h + 2 * k
+    d_pad = jnp.pad(d, ((0, 0), (k, k), (0, 0)))
+
+    kernel = functools.partial(
+        _cspn_tiled_kernel, iters=iters, k=k, tile_h=tile_h, w=w,
+        has_sparse=has_sparse)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, w), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, ht, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((9, slab, w), jnp.float32),
+            pltpu.VMEM((slab, w), jnp.float32),
+            pltpu.VMEM((slab, w), jnp.float32),
+            pltpu.VMEM((slab + 2, w + 2), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=b * ht * w * iters * 19,
+            bytes_accessed=4 * b * w * (9 * n_tiles * slab + 2 * ht),
+            transcendentals=0),
+        interpret=interpret,
+    )(gates9_pad, d_pad, sp_pad)
+
+
+def _cspn_pallas_tiled_fwd_impl(guidance, blur, sparse, num_iters: int,
+                                norm_type: str, has_sparse: bool,
+                                interpret: bool, halo_k: int, tile_h: int):
+    b, h, w, _ = guidance.shape
+    k = min(halo_k, num_iters)
+    ht = -(-h // tile_h) * tile_h           # round H up to a tile multiple
+    # Mosaic requires DMA slices of tiled HBM memrefs to be lane-aligned:
+    # pad W to a multiple of 128. Zero gates keep the pad columns at zero
+    # through every iteration — identical to the global zero border.
+    wp = -(-w // 128) * 128
+    if wp != w:
+        guidance = jnp.pad(guidance, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+        blur = jnp.pad(blur, ((0, 0), (0, 0), (0, wp - w)))
+        sparse = jnp.pad(sparse, ((0, 0), (0, 0), (0, wp - w)))
+
+    # Prenormalize once (pointwise, XLA-fused); transpose to plane-major and
+    # zero-pad rows: [bottom-fill to Ht] + [k halo top/bottom]. Zero gates
+    # (including the center) keep every pad row at exactly 0 through all
+    # iterations — identical to the unsharded op's per-iteration zero pad.
+    g = jnp.moveaxis(guidance.astype(jnp.float32), -1, 1)  # (B, 8, H, W)
+    if norm_type == "8sum_abs":
+        g = jnp.abs(g)
+    abs_sum = jnp.sum(jnp.abs(g), axis=1, keepdims=True)
+    floor = 1.0 if norm_type == "8sum_clamp" else 1e-8
+    gates = g / jnp.maximum(abs_sum, floor)
+    gate_center = 1.0 - jnp.sum(gates, axis=1, keepdims=True)
+    gates9 = jnp.concatenate([gate_center, gates], axis=1)
+    gates9_pad = jnp.pad(gates9, ((0, 0), (0, 0), (k, ht - h + k), (0, 0)))
+
+    d = blur.astype(jnp.float32)
+    sp_pad = jnp.zeros((b, ht + 2 * k, w), jnp.float32)
+    if has_sparse:
+        sp = sparse.astype(jnp.float32)
+        m = (sp > 0).astype(jnp.float32)
+        d = (1.0 - m) * d + m * sp          # anchor d^0 (matches jnp ref)
+        sp_pad = jnp.pad(sp, ((0, 0), (k, ht - h + k), (0, 0)))
+    d = jnp.pad(d, ((0, 0), (0, ht - h), (0, 0)))
+
+    rounds = [k] * (num_iters // k)
+    if num_iters % k:
+        rounds.append(num_iters % k)
+    for r in rounds:
+        d = _tiled_launch(gates9_pad, d, sp_pad, iters=r, k=k,
+                          tile_h=tile_h, has_sparse=has_sparse,
+                          interpret=interpret)
+    return d[:, :h, :w]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _cspn_pallas_tiled(guidance, blur, sparse, num_iters, norm_type,
+                       has_sparse, interpret, halo_k, tile_h):
+    return _cspn_pallas_tiled_fwd_impl(
+        guidance, blur, sparse, num_iters, norm_type, has_sparse, interpret,
+        halo_k, tile_h)
+
+
+def _tiled_fwd(guidance, blur, sparse, num_iters, norm_type, has_sparse,
+               interpret, halo_k, tile_h):
+    out = _cspn_pallas_tiled(guidance, blur, sparse, num_iters, norm_type,
+                             has_sparse, interpret, halo_k, tile_h)
+    return out, (guidance, blur, sparse)
+
+
+def _tiled_bwd(num_iters, norm_type, has_sparse, interpret, halo_k, tile_h,
+               residuals, g_out):
+    return _bwd(num_iters, norm_type, has_sparse, interpret, residuals,
+                g_out)
+
+
+_cspn_pallas_tiled.defvjp(_tiled_fwd, _tiled_bwd)
+
+
+def pick_tile_h(h: int, w: int, halo_k: int,
+                vmem_budget_bytes: int = 6 * 1024 * 1024) -> int:
+    """Largest tile height whose ~13 f32 slab planes fit the VMEM budget.
+
+    Rounded down to a multiple of 8: the TPU lowering requires the output
+    block's sublane dimension to divide by 8 (unless it spans the array).
+    The budget is deliberately ~1/3 of VMEM: on top of the explicit
+    scratches, Mosaic stack-allocates the stencil temporaries and
+    double-buffers the output block (a 6 MiB budget measured ~9 MiB total
+    at KITTI width; 8 MiB OOM'd the 16 MiB v5e VMEM).
+    """
+    slab_max = vmem_budget_bytes // (13 * 4 * w)
+    tile = max(8, (slab_max - 2 * halo_k) // 8 * 8)
+    return min(tile, h)
+
+
+def cspn_propagate_pallas_tiled(
+    guidance: jax.Array,
+    blur_depth: jax.Array,
+    sparse_depth: jax.Array | None = None,
+    *,
+    num_iters: int = 24,
+    norm_type: str = "8sum",
+    halo_k: int = 8,
+    tile_h: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused-tile CSPN for images beyond the whole-plane VMEM budget.
+
+    Same contract as cspn_propagate_ref; numerically identical (the k-row
+    recompute halo makes every tile interior exact — tests/test_cspn_pallas.py).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    squeeze = blur_depth.ndim == 4
+    d0 = blur_depth[..., 0] if squeeze else blur_depth
+    has_sparse = sparse_depth is not None
+    if has_sparse:
+        sp = sparse_depth[..., 0] if sparse_depth.ndim == 4 else sparse_depth
+    else:
+        sp = jnp.zeros_like(d0)
+
+    h, w = d0.shape[1:]
+    if tile_h is None:
+        tile_h = pick_tile_h(h, w, halo_k)
+    out = _cspn_pallas_tiled(guidance, d0, sp, num_iters, norm_type,
+                             has_sparse, interpret, halo_k, tile_h)
     out = out.astype(d0.dtype)
     return out[..., None] if squeeze else out

@@ -87,3 +87,81 @@ def test_pallas_grads_match_ref(with_sparse):
     gr = jax.grad(loss_ref, argnums=(0, 1))(guidance, blur)
     for a, b in zip(gp, gr):
         _assert_close(a, b, rtol=1e-4)
+
+
+# ---------------------------------------------------------------- tiled
+# H-tiled multi-launch kernel (KITTI-size images beyond the whole-plane
+# VMEM budget): k-row recompute halo per launch must make every tile
+# interior exact vs the unsharded reference.
+
+from cspn_monodepth_tpu.ops.cspn_pallas import (  # noqa: E402
+    cspn_propagate_pallas_tiled,
+    pick_tile_h,
+)
+
+
+@pytest.mark.parametrize("num_iters", [1, 5, 24])
+@pytest.mark.parametrize("with_sparse", [True, False])
+def test_tiled_matches_ref(num_iters, with_sparse):
+    guidance, blur, sparse = _problem(jax.random.key(num_iters), 2, 37, 48)
+    sp = sparse if with_sparse else None
+    want = cspn_propagate_ref(guidance, blur, sp, num_iters=num_iters)
+    got = cspn_propagate_pallas_tiled(guidance, blur, sp,
+                                      num_iters=num_iters, halo_k=4,
+                                      tile_h=16)
+    _assert_close(got, want)
+
+
+@pytest.mark.parametrize("hw,tile_h,k", [
+    ((13, 17), 8, 2),     # last tile mostly padding
+    ((33, 30), 11, 4),    # H an exact multiple of tile_h
+    ((57, 76), 57, 3),    # single tile (degenerate tiling)
+])
+def test_tiled_odd_sizes(hw, tile_h, k):
+    h, w = hw
+    guidance, blur, sparse = _problem(jax.random.key(7), 1, h, w)
+    want = cspn_propagate_ref(guidance, blur, sparse, num_iters=6)
+    got = cspn_propagate_pallas_tiled(guidance, blur, sparse, num_iters=6,
+                                      halo_k=k, tile_h=tile_h)
+    _assert_close(got, want)
+
+
+def test_tiled_norm_types_and_channel_dim():
+    guidance, blur, sparse = _problem(jax.random.key(9), 1, 20, 16)
+    for norm in ("8sum", "8sum_abs", "8sum_clamp"):
+        want = cspn_propagate_ref(guidance, blur, sparse, num_iters=8,
+                                  norm_type=norm)
+        got = cspn_propagate_pallas_tiled(guidance, blur[..., None],
+                                          sparse[..., None], num_iters=8,
+                                          norm_type=norm, halo_k=4,
+                                          tile_h=8)
+        assert got.shape == blur.shape + (1,)
+        _assert_close(got[..., 0], want)
+
+
+@pytest.mark.parametrize("with_sparse", [True, False])
+def test_tiled_grads_match_ref(with_sparse):
+    guidance, blur, sparse = _problem(jax.random.key(13), 1, 18, 14)
+    sp = sparse if with_sparse else None
+
+    def loss_tiled(g, d):
+        return jnp.sum(cspn_propagate_pallas_tiled(
+            g, d, sp, num_iters=5, halo_k=3, tile_h=6) ** 2)
+
+    def loss_ref(g, d):
+        return jnp.sum(cspn_propagate_ref(g, d, sp, num_iters=5) ** 2)
+
+    gp = jax.grad(loss_tiled, argnums=(0, 1))(guidance, blur)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(guidance, blur)
+    for a, b in zip(gp, gr):
+        _assert_close(a, b, rtol=1e-4)
+
+
+def test_pick_tile_h_budget():
+    """Chosen slab planes must fit the stated VMEM budget."""
+    for h, w in [(352, 1216), (228, 304), (1024, 2048)]:
+        k = 8
+        tile = pick_tile_h(h, w, k)
+        assert 8 <= tile <= h
+        slab = min(tile, h) + 2 * k
+        assert 13 * 4 * slab * w <= 8 * 1024 * 1024 or tile == 8

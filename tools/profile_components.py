@@ -1,0 +1,141 @@
+"""Component-wise TPU timing breakdown (encoder / decoder / CSPN / full).
+
+Uses the same serial-chaining methodology as bench.py (see its docstring:
+the tunneled PJRT transport acks dispatches asynchronously, so each
+component is timed as N serially-dependent evaluations inside one jit,
+closed by a scalar readback).
+
+Usage: python tools/profile_components.py [--batch 32] [--hw 228x304]
+       [--iters 10] [--train]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def chain_time(fn, init_carry, n, params=None):
+    """Time n serially-dependent applications of carry -> carry scalar-dep.
+
+    params (a pytree) is passed as a jit ARGUMENT, not a closure constant —
+    closed-over weights are embedded in the HLO proto, which the tunnel's
+    remote-compile endpoint rejects above ~100 MB (HTTP 413).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(c, p):
+        def body(c, _):
+            c = fn(c, p)
+            return c, None
+        c, _ = jax.lax.scan(body, c, None, length=n)
+        return c
+
+    out = chained(init_carry, params)
+    _ = float(jnp.sum(jax.tree.leaves(out)[0][..., :1]))  # warm + sync
+    t0 = time.perf_counter()
+    out = chained(init_carry, params)
+    _ = float(jnp.sum(jax.tree.leaves(out)[0][..., :1]))
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cspn_monodepth_tpu.models import CSPNDepthNet
+    from cspn_monodepth_tpu.models.resnet import ResNetEncoder
+    from cspn_monodepth_tpu.models.unet import UpProjDecoder
+    from cspn_monodepth_tpu.ops.cspn import cspn_propagate
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--hw", default="228x304")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--num-iters", type=int, default=24)
+    ap.add_argument("--train", action="store_true",
+                    help="also time fwd+bwd for each component")
+    args = ap.parse_args()
+    h, w = (int(v) for v in args.hw.split("x"))
+    b = args.batch
+
+    key = jax.random.key(0)
+    x = jax.random.uniform(key, (b, h, w, 4), jnp.float32)
+
+    enc = ResNetEncoder()
+    ev = enc.init(jax.random.key(1), x, train=False)
+    skips = jax.eval_shape(lambda: enc.apply(ev, x, train=False))
+    dec = UpProjDecoder()
+    skips_c = jax.jit(lambda v, xx: enc.apply(v, xx, train=False))(ev, x)
+    dv = dec.init(jax.random.key(2), skips_c, out_hw=(h, w), train=False)
+
+    model = CSPNDepthNet(modality="rgbd", num_iters=args.num_iters)
+    mv = model.init(jax.random.key(3), x, train=False)
+
+    guid = jax.random.normal(jax.random.key(4), (b, h, w, 8), jnp.float32)
+    blur = jax.random.uniform(jax.random.key(5), (b, h, w, 1), jnp.float32)
+    sp = (blur * (jax.random.uniform(jax.random.key(6), blur.shape) < 0.01))
+
+    res = {}
+
+    # encoder fwd: carry x -> x (+ tiny feedback from deepest feature)
+    def enc_step(xx, v):
+        sk = enc.apply(v, xx, train=False)
+        return xx + jnp.mean(sk[-1]).astype(xx.dtype) * 1e-9
+
+    res["encoder_fwd_ms"] = chain_time(enc_step, x, args.iters, ev) * 1e3
+
+    # decoder fwd: carry skips -> skips
+    def dec_step(sk, v):
+        f = dec.apply(v, sk, out_hw=(h, w), train=False)
+        bump = jnp.mean(f).astype(sk[0].dtype) * 1e-9
+        return tuple(s + bump for s in sk)
+
+    res["decoder_fwd_ms"] = chain_time(dec_step, skips_c, args.iters,
+                                       dv) * 1e3
+
+    # cspn fwd (pallas-dispatch as in the model)
+    def cspn_step(d, gs):
+        g, s = gs
+        return cspn_propagate(g, d, s, num_iters=args.num_iters,
+                              norm_type="8sum_clamp", impl="auto")
+
+    res[f"cspn{args.num_iters}_fwd_ms"] = (
+        chain_time(cspn_step, blur, args.iters, (guid, sp)) * 1e3)
+
+    # full model fwd
+    def full_step(xx, v):
+        out = model.apply(v, xx, train=False)
+        return xx + jnp.mean(out).astype(xx.dtype) * 1e-9
+
+    res["full_fwd_ms"] = chain_time(full_step, x, args.iters, mv) * 1e3
+
+    if args.train:
+        def loss_fn(p, xx, v):
+            out, _ = model.apply({**v, "params": p}, xx, train=True,
+                                 mutable=["batch_stats"])
+            return jnp.mean(out ** 2)
+
+        def train_step(carry, v):
+            p, xx = carry
+            g = jax.grad(loss_fn)(p, xx, v)
+            p = jax.tree.map(lambda a, b_: a - 1e-9 * b_.astype(a.dtype),
+                             p, g)
+            return p, xx
+
+        res["full_fwdbwd_ms"] = chain_time(
+            train_step, (mv["params"], x), args.iters, mv) * 1e3
+
+    res.update(batch=b, hw=f"{h}x{w}", backend=jax.default_backend())
+    print(json.dumps(res, indent=1))
+
+
+if __name__ == "__main__":
+    main()
