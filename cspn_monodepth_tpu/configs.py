@@ -27,6 +27,8 @@ class ModelConfig:
     encoder_width: int = 64
     decoder_channels: tuple = (512, 256, 128, 64)
     decoder_out: int = 64
+    decoder_block: str = "upproj"   # upproj (Gudi_UpProj_Block_Cat) |
+                                    # upconv (Simple_Gudi_UpConv_Block)
 
 
 @dataclass(frozen=True)

@@ -46,6 +46,7 @@ class CSPNDepthNet(nn.Module):
     encoder_width: int = 64
     decoder_channels: tuple = (512, 256, 128, 64)
     decoder_out: int = 64
+    decoder_block: str = "upproj"           # upproj | upconv
     # When set (a jax.sharding.Mesh with a "spatial" axis of size > 1), the
     # CSPN refinement runs through the explicit shard_map halo-exchange
     # path (parallel/halo.py) instead of relying on XLA auto-SPMD.
@@ -79,6 +80,7 @@ class CSPNDepthNet(nn.Module):
         feat = UpProjDecoder(
             channels=tuple(self.decoder_channels),
             channels_out=self.decoder_out,
+            block=self.decoder_block,
             dtype=self.dtype, name="decoder")(
             skips, out_hw=(h, w), train=train)
 

@@ -74,7 +74,8 @@ class DepthPredictor:
             encoder_block=cfg.model.encoder_block,
             encoder_width=cfg.model.encoder_width,
             decoder_channels=tuple(cfg.model.decoder_channels),
-            decoder_out=cfg.model.decoder_out)
+            decoder_out=cfg.model.decoder_out,
+            decoder_block=cfg.model.decoder_block)
         return cls(model, variables["params"], variables["batch_stats"],
                    cfg.data.height, cfg.data.width)
 

@@ -70,6 +70,7 @@ class Trainer:
             encoder_width=cfg.model.encoder_width,
             decoder_channels=tuple(cfg.model.decoder_channels),
             decoder_out=cfg.model.decoder_out,
+            decoder_block=cfg.model.decoder_block,
             spatial_mesh=self.mesh if cfg.mesh.spatial > 1 else None,
         )
         self.train_ds = make_dataset(cfg.data, "train", seed=cfg.train.seed)

@@ -125,3 +125,46 @@ def test_model_arch_resnet18_param_count():
     out = jax.eval_shape(
         lambda: m18.init(jax.random.key(0), x, train=False))
     assert "encoder" in out["params"]
+
+
+def test_upconv_subpixel_equivalence():
+    """Sub-pixel decomposed up-conv == naive 5x5 SAME conv on the
+    nearest-2x-upsampled map, including borders (all-f32, tight tol)."""
+    from jax import lax
+
+    from cspn_monodepth_tpu.models.unet import (
+        _upsample2x,
+        upconv5x5_subpixel,
+    )
+
+    rng = np.random.default_rng(0)
+    for h, w, cin, cout in [(5, 7, 3, 4), (8, 8, 2, 2), (11, 6, 1, 5)]:
+        x = jnp.asarray(rng.normal(size=(2, h, w, cin)).astype(np.float32))
+        k = jnp.asarray(
+            rng.normal(size=(5, 5, cin, cout)).astype(np.float32))
+        want = lax.conv_general_dilated(
+            _upsample2x(x), k, (1, 1), padding=((2, 2), (2, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = upconv5x5_subpixel(x, k, dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_model_decoder_upconv():
+    """Simple_Gudi_UpConv_Block decoder variant runs end-to-end and is
+    smaller than the two-branch UpProj decoder."""
+    mk = lambda blk: CSPNDepthNet(  # noqa: E731
+        modality="rgbd", num_iters=2, cspn_impl="jnp", dtype=jnp.float32,
+        decoder_block=blk, **TINY)
+    x = jax.random.uniform(jax.random.key(0), (1, 32, 48, 4))
+    m = mk("upconv")
+    variables = m.init(jax.random.key(1), x, train=False)
+    out = m.apply(variables, x, train=False)
+    assert out.shape == (1, 32, 48, 1)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+    def count(m):
+        v = jax.eval_shape(lambda: m.init(jax.random.key(0), x, train=False))
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
+
+    assert count(mk("upconv")) < count(mk("upproj"))
