@@ -59,29 +59,47 @@ def _crop_to(x: jax.Array, h: int, w: int) -> jax.Array:
 
 def upconv5x5_subpixel(x: jax.Array, kernel: jax.Array,
                        dtype=jnp.bfloat16) -> jax.Array:
-    """conv5x5_SAME(nearest_upsample_2x(x), kernel), computed as 4
-    parity-interleaved 3x3 convs on x. kernel: (5, 5, Cin, Cout) float32.
+    """conv5x5_SAME(nearest_upsample_2x(x), kernel), computed as ONE 3x3
+    conv to 4*Cout channels (the four parity classes' collapsed kernels
+    stacked along Cout) followed by a depth-to-space interleave.
+    kernel: (5, 5, Cin, Cout) float32.
 
     Exact (up to f32 summation order) including borders: SAME zero padding
     of the upsampled map by 2 corresponds to padding x by 1 in every
-    parity class.
+    parity class. The single wide conv beats 4 separate 3x3 convs and an
+    lhs-dilated 6x6 conv on TPU (tools/bench_upconv.py: 3.0 vs 5.6 vs 5.6
+    vs 31.6 ms naive at the final-block shape).
     """
+    return upconv5x5_subpixel_multi(x, [kernel], dtype)[0]
+
+
+def upconv5x5_subpixel_multi(x: jax.Array, kernels, dtype=jnp.bfloat16):
+    """Apply upconv5x5_subpixel for several kernels sharing the same input
+    in ONE conv (n * 4 * Cout output channels) — small-N convs on TPU are
+    launch/layout-bound, so batching the branches along Cout is another
+    ~2x (tools/bench_upconv.py). Returns a list of (B, 2H, 2W, Cout)."""
     b, h, w, cin = x.shape
-    cout = kernel.shape[-1]
-    outs = []
-    for cy in (_C0, _C1):
-        for cx in (_C0, _C1):
-            ky = jnp.asarray(cy, kernel.dtype)
-            kx = jnp.asarray(cx, kernel.dtype)
-            k = jnp.einsum("ua,vb,abio->uvio", ky, kx, kernel)
-            outs.append(lax.conv_general_dilated(
-                x.astype(dtype), k.astype(dtype), (1, 1),
-                padding=((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC")))
-    # outs order: (py, px) = (0,0), (0,1), (1,0), (1,1)
-    y = jnp.stack(outs, axis=0).reshape(2, 2, b, h, w, cout)
-    y = y.transpose(2, 3, 0, 4, 1, 5)           # (b, h, py, w, px, cout)
-    return y.reshape(b, 2 * h, 2 * w, cout)
+    cout = kernels[0].shape[-1]
+    ks = []
+    for kernel in kernels:
+        assert kernel.shape[-1] == cout
+        for cy in (_C0, _C1):
+            for cx in (_C0, _C1):
+                ky = jnp.asarray(cy, kernel.dtype)
+                kx = jnp.asarray(cx, kernel.dtype)
+                ks.append(jnp.einsum("ua,vb,abio->uvio", ky, kx, kernel))
+    kk = jnp.concatenate(ks, axis=-1)           # (3, 3, Cin, n*4*Cout)
+    y = lax.conv_general_dilated(
+        x.astype(dtype), kk.astype(dtype), (1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    n = len(kernels)
+    # channel blocks ordered (kernel, py, px) with (py, px) =
+    # (0,0), (0,1), (1,0), (1,1)
+    y = y.reshape(b, h, w, n, 2, 2, cout)
+    y = y.transpose(3, 0, 1, 4, 2, 5, 6)        # (n, b, h, py, w, px, cout)
+    y = y.reshape(n, b, 2 * h, 2 * w, cout)
+    return [y[i] for i in range(n)]
 
 
 class UpProjBlock(nn.Module):
@@ -113,15 +131,25 @@ class UpProjBlock(nn.Module):
         k2 = self.param("conv2_up", nn.initializers.lecun_normal(),
                         (5, 5, cin, self.channels), jnp.float32)
 
-        a = upconv5x5_subpixel(x, k1a, self.dtype)
-        c = upconv5x5_subpixel(x, k2, self.dtype)
+        a, c = upconv5x5_subpixel_multi(x, [k1a, k2], self.dtype)
         if out_hw is not None:
             a = _crop_to(a, *out_hw)
             c = _crop_to(c, *out_hw)
         if skip is not None:
-            skip = skip.astype(self.dtype)
-            a = a + conv(self.channels, 5, "conv1a_skip")(skip)
-            c = c + conv(self.channels, 5, "conv2_skip")(skip)
+            # Both skip branches in one conv (2*channels wide) for the
+            # same small-N batching reason as the up-convs.
+            cs = skip.shape[-1]
+            ks1 = self.param("conv1a_skip", nn.initializers.lecun_normal(),
+                             (5, 5, cs, self.channels), jnp.float32)
+            ks2 = self.param("conv2_skip", nn.initializers.lecun_normal(),
+                             (5, 5, cs, self.channels), jnp.float32)
+            ksk = jnp.concatenate([ks1, ks2], axis=-1)
+            sk = lax.conv_general_dilated(
+                skip.astype(self.dtype), ksk.astype(self.dtype), (1, 1),
+                padding=((2, 2), (2, 2)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            a = a + sk[..., :self.channels]
+            c = c + sk[..., self.channels:]
 
         a = nn.relu(bn("bn1a")(a))
         a = bn("bn1b")(conv(self.channels, 3, "conv1b")(a))
