@@ -165,3 +165,48 @@ def test_pick_tile_h_budget():
         assert 8 <= tile <= h
         slab = min(tile, h) + 2 * k
         assert 13 * 4 * slab * w <= 8 * 1024 * 1024 or tile == 8
+
+
+# ------------------------------------------------------------- adjoint
+# Hand-written Pallas backward (stash forward + adjoint-stencil kernel):
+# gradients must match jax.vjp of the jnp reference for every norm type,
+# with and without anchors, across iteration counts.
+
+@pytest.mark.parametrize("norm", ["8sum", "8sum_clamp", "8sum_abs"])
+@pytest.mark.parametrize("with_sparse", [True, False])
+def test_pallas_adjoint_matches_ref(norm, with_sparse, monkeypatch):
+    monkeypatch.setenv("CSPN_PALLAS_ADJOINT", "1")
+    guidance, blur, sparse = _problem(jax.random.key(21), 2, 18, 22)
+    sp = sparse if with_sparse else None
+    cot = jax.random.normal(jax.random.key(22), blur.shape, jnp.float32)
+
+    def f_pallas(g, d, s):
+        return jnp.vdot(cspn_propagate_pallas(
+            g, d, s, num_iters=24, norm_type=norm), cot)
+
+    def f_ref(g, d, s):
+        return jnp.vdot(cspn_propagate_ref(
+            g, d, s, num_iters=24, norm_type=norm), cot)
+
+    argnums = (0, 1) + ((2,) if with_sparse else ())
+    gp = jax.grad(f_pallas, argnums)(guidance, blur, sp)
+    gr = jax.grad(f_ref, argnums)(guidance, blur, sp)
+    for a, b in zip(gp, gr):
+        _assert_close(a, b, rtol=1e-4)
+
+
+def test_pallas_adjoint_channel_dim_and_value(monkeypatch):
+    """Adjoint path must not change the forward value; channel-dim inputs
+    round-trip through the vjp machinery."""
+    monkeypatch.setenv("CSPN_PALLAS_ADJOINT", "1")
+    guidance, blur, sparse = _problem(jax.random.key(23), 1, 16, 20)
+
+    def f(g, d, s):
+        return cspn_propagate_pallas(g, d[..., None], s[..., None],
+                                     num_iters=8)
+
+    out, vjp = jax.vjp(f, guidance, blur, sparse)
+    want = cspn_propagate_ref(guidance, blur, sparse, num_iters=8)
+    _assert_close(out[..., 0], want)
+    dg, dd, ds = vjp(jnp.ones_like(out))
+    assert dg.shape == guidance.shape and dd.shape == blur.shape
