@@ -19,12 +19,7 @@ from typing import Protocol
 import numpy as np
 
 from cspn_monodepth_tpu.configs import DataConfig
-from cspn_monodepth_tpu.data.transforms import (
-    _bilinear_resize,
-    _nearest_resize,
-    train_transform,
-    val_transform,
-)
+from cspn_monodepth_tpu.data.transforms import train_transform, val_transform
 
 
 class DepthDataset(Protocol):
@@ -92,13 +87,11 @@ class NYUDataset:
                 rotate_deg=c.rotate_deg, scale_max=c.scale_max,
                 hflip_prob=c.hflip_prob, jitter=c.jitter, crop="center")
         else:
-            # Deterministic eval: half-scale to 240x320, center-crop.
-            rgb = _bilinear_resize(np.asarray(rgb, np.float32) / 255.0,
-                                   *self.HALF_HW)
-            depth = _nearest_resize(np.asarray(depth, np.float32),
-                                    *self.HALF_HW)
+            # Deterministic eval: half-scale to 240x320, center-crop —
+            # one fused affine resample (reference CenterCrop semantics).
             rgb, depth = val_transform(rgb, depth, out_h=c.height,
-                                       out_w=c.width, crop="center")
+                                       out_w=c.width,
+                                       resized_hw=self.HALF_HW, crop="center")
         return {"rgb": rgb.astype(np.float32),
                 "depth": depth.astype(np.float32)}
 
