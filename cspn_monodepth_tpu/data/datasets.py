@@ -96,6 +96,66 @@ class NYUDataset:
                 "depth": depth.astype(np.float32)}
 
 
+class PackedNYUDataset:
+    """NYU from the flat memmap shards written by `tools/prepare_nyu.py`
+    (`<root>/{split}_rgb.u8.npy` + `{split}_depth.u16.npy` +
+    `{split}_index.json`).
+
+    Records are sliced straight out of page-cached memmaps — no h5py
+    open/decode, no GIL-held parsing — so the reader keeps up with the
+    native augmentation kernel. Depth is stored as uint16 meters*256,
+    identical to the host->device wire format (pipeline.pack_batch), so
+    packing loses nothing downstream. The uint8 rgb slice feeds the
+    native kernel's u8 entry point directly (no float conversion of the
+    full-resolution frame).
+    """
+
+    def __init__(self, cfg: DataConfig, split: str, seed: int = 0):
+        import json
+
+        self.cfg = cfg
+        self.split = "train" if split == "train" else "val"
+        self.seed = seed
+        with open(os.path.join(cfg.root,
+                               f"{self.split}_index.json")) as f:
+            idx = json.load(f)
+        self.n = idx["n"]
+        self.depth_scale = float(idx.get("depth_scale", 256.0))
+        self.rgb = np.load(os.path.join(cfg.root,
+                                        f"{self.split}_rgb.u8.npy"),
+                           mmap_mode="r")
+        self.depth = np.load(os.path.join(cfg.root,
+                                          f"{self.split}_depth.u16.npy"),
+                             mmap_mode="r")
+        self._half_hw = (idx["height"] // 2, idx["width"] // 2)
+
+    def __len__(self) -> int:
+        return self.n
+
+    def get(self, index: int, epoch: int = 0) -> dict[str, np.ndarray]:
+        rgb = np.ascontiguousarray(self.rgb[index])          # uint8 HWC
+        depth = self.depth[index].astype(np.float32) / self.depth_scale
+        c = self.cfg
+        if self.split == "train":
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, epoch, index]))
+            rgb, depth = train_transform(
+                rgb, depth, rng, out_h=c.height, out_w=c.width,
+                rotate_deg=c.rotate_deg, scale_max=c.scale_max,
+                hflip_prob=c.hflip_prob, jitter=c.jitter, crop="center")
+        else:
+            rgb, depth = val_transform(rgb, depth, out_h=c.height,
+                                       out_w=c.width,
+                                       resized_hw=self._half_hw,
+                                       crop="center")
+        return {"rgb": rgb, "depth": depth}
+
+
+def _is_packed_nyu(root: str) -> bool:
+    return (os.path.isfile(os.path.join(root, "train_index.json"))
+            or os.path.isfile(os.path.join(root, "val_index.json")))
+
+
 class KITTIDataset:
     """KITTI depth: bottom-crop 1216x352, lidar-projected sparse GT
     (SURVEY.md R8). Expects `<root>/{train,val}/*.npz` with keys `rgb`
@@ -195,6 +255,8 @@ class SyntheticDataset:
 
 def make_dataset(cfg: DataConfig, split: str, seed: int = 0):
     if cfg.dataset == "nyudepthv2":
+        if _is_packed_nyu(cfg.root):
+            return PackedNYUDataset(cfg, split, seed)
         return NYUDataset(cfg, split, seed)
     if cfg.dataset == "kitti":
         return KITTIDataset(cfg, split, seed)

@@ -193,3 +193,31 @@ def test_prepare_kitti_converter(tmp_path):
     ds = D.KITTIDataset(cfg, "val")
     rec = ds.get(0)
     assert rec["rgb"].shape == (32, 96, 3)
+
+
+def test_prepare_nyu_packed_roundtrip(nyu_root, tmp_path):
+    """tools/prepare_nyu.py: h5 tree -> memmap shards; PackedNYUDataset
+    records match NYUDataset records (rgb bitwise; depth to the uint16
+    wire quantization the pipeline applies anyway)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from cspn_monodepth_tpu.data.datasets import PackedNYUDataset
+    from tools.prepare_nyu import main as prepare_main
+
+    out = str(tmp_path / "packed")
+    prepare_main(["--src", nyu_root, "--out", out])
+
+    cfg_h5 = DataConfig(dataset="nyudepthv2", root=nyu_root)
+    cfg_pk = DataConfig(dataset="nyudepthv2", root=out)
+    assert isinstance(make_dataset(cfg_pk, "train"), PackedNYUDataset)
+
+    for split in ("train", "val"):
+        a = make_dataset(cfg_h5, split, seed=3)
+        b = make_dataset(cfg_pk, split, seed=3)
+        assert len(a) == len(b)
+        for i in range(len(a)):
+            ra, rb = a.get(i, epoch=1), b.get(i, epoch=1)
+            np.testing.assert_allclose(rb["rgb"], ra["rgb"], atol=1e-6)
+            # source-side uint16 quantization: |err| <= (1/512)/s < 4 mm
+            np.testing.assert_allclose(rb["depth"], ra["depth"], atol=4e-3)
+            assert rb["rgb"].dtype == np.float32
