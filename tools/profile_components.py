@@ -118,6 +118,50 @@ def main():
     res["full_fwd_ms"] = chain_time(full_step, x, args.iters, mv) * 1e3
 
     if args.train:
+        # per-component fwd+bwd: grads w.r.t. params of that component only
+        def enc_loss(p, xx, v):
+            sk = enc.apply({**v, "params": p}, xx, train=True,
+                           mutable=["batch_stats"])[0]
+            return sum(jnp.mean(s.astype(jnp.float32) ** 2) for s in sk)
+
+        def enc_train(carry, v):
+            p, xx = carry
+            g = jax.grad(enc_loss)(p, xx, v)
+            p = jax.tree.map(lambda a, b_: a - 1e-9 * b_.astype(a.dtype),
+                             p, g)
+            return p, xx
+
+        res["encoder_fwdbwd_ms"] = chain_time(
+            enc_train, (ev["params"], x), args.iters, ev) * 1e3
+
+        def dec_loss(p, sk, v):
+            f = dec.apply({**v, "params": p}, sk, out_hw=(h, w), train=True,
+                          mutable=["batch_stats"])[0]
+            return jnp.mean(f.astype(jnp.float32) ** 2)
+
+        def dec_train(carry, v):
+            p, sk = carry
+            g = jax.grad(dec_loss)(p, sk, v)
+            p = jax.tree.map(lambda a, b_: a - 1e-9 * b_.astype(a.dtype),
+                             p, g)
+            return p, sk
+
+        res["decoder_fwdbwd_ms"] = chain_time(
+            dec_train, (dv["params"], skips_c), args.iters, dv) * 1e3
+
+        def cspn_loss(d0, gs):
+            g, s = gs
+            out = cspn_propagate(g, d0, s, num_iters=args.num_iters,
+                                 norm_type="8sum_clamp", impl="auto")
+            return jnp.mean(out ** 2)
+
+        def cspn_train(d, gs):
+            gr = jax.grad(cspn_loss)(d, gs)
+            return d - 1e-9 * gr
+
+        res[f"cspn{args.num_iters}_fwdbwd_ms"] = chain_time(
+            cspn_train, blur, args.iters, (guid, sp)) * 1e3
+
         def loss_fn(p, xx, v):
             out, _ = model.apply({**v, "params": p}, xx, train=True,
                                  mutable=["batch_stats"])
