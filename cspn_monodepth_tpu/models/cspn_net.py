@@ -84,17 +84,29 @@ class CSPNDepthNet(nn.Module):
             dtype=self.dtype, name="decoder")(
             skips, out_hw=(h, w), train=train)
 
-        # Heads in float32 (SURVEY.md R5): 1ch blur depth + 8ch guidance.
+        # Heads (SURVEY.md R5): 1ch blur depth + 8ch guidance.
         # Zero-init: with "8sum_clamp" normalization the CSPN then starts
         # as the identity map, which is what makes from-scratch training
         # stable (no pretrained encoder is available in this environment).
-        feat32 = feat.astype(jnp.float32)
-        blur_depth = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32,
-                             kernel_init=nn.initializers.zeros,
-                             name="depth_head")(feat32)
-        guidance = nn.Conv(8, (3, 3), padding="SAME", dtype=jnp.float32,
-                           kernel_init=nn.initializers.zeros,
-                           name="guidance_head")(feat32)
+        # Both heads run as ONE f32 conv (9 out = 1 depth + 8 guidance):
+        # two separate convs would read the full-resolution f32 feature
+        # twice; the math is identical with the kernels concatenated.
+        cf = feat.shape[-1]
+        kd = self.param("depth_head_kernel", nn.initializers.zeros,
+                        (3, 3, cf, 1), jnp.float32)
+        bd = self.param("depth_head_bias", nn.initializers.zeros,
+                        (1,), jnp.float32)
+        kg = self.param("guidance_head_kernel", nn.initializers.zeros,
+                        (3, 3, cf, 8), jnp.float32)
+        bg = self.param("guidance_head_bias", nn.initializers.zeros,
+                        (8,), jnp.float32)
+        kk = jnp.concatenate([kd, kg], axis=-1)
+        heads = jax.lax.conv_general_dilated(
+            feat.astype(jnp.float32), kk, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        heads = heads + jnp.concatenate([bd, bg])
+        blur_depth = heads[..., 0:1]
+        guidance = heads[..., 1:9]
 
         if self.spatial_mesh is not None:
             from cspn_monodepth_tpu.parallel.halo import cspn_propagate_spatial
