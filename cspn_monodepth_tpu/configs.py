@@ -29,6 +29,11 @@ class ModelConfig:
     decoder_out: int = 64
     decoder_block: str = "upproj"   # upproj (Gudi_UpProj_Block_Cat) |
                                     # upconv (Simple_Gudi_UpConv_Block)
+    # Path to a torchvision ResNet checkpoint (.pth) to graft into the
+    # encoder at init — the reference's `pretrained=True` workflow
+    # (models/torch_weights.py; 4th input channel = mean of RGB filters).
+    # "" = random init.
+    pretrained: str = ""
 
 
 @dataclass(frozen=True)

@@ -224,6 +224,24 @@ class Trainer:
             return create_train_state(variables, self.tx)
 
         state = jax.jit(init_fn, out_shardings=self._rep)()
+
+        # Reference `pretrained=True` workflow: graft torchvision encoder
+        # weights (every process loads the same file; result stays
+        # replicated). Decoder/heads keep their fresh init.
+        if cfg.model.pretrained:
+            from cspn_monodepth_tpu.models.torch_weights import (
+                load_pretrained_encoder)
+
+            ch = {"rgb": 3, "rgbd": 4, "d": 1}[cfg.model.modality]
+            variables = {"params": jax.device_get(state.params),
+                         "batch_stats": jax.device_get(state.batch_stats)}
+            variables = load_pretrained_encoder(
+                variables, cfg.model.pretrained, in_channels=ch,
+                arch=cfg.model.arch or "resnet50")
+            state = state.replace(
+                params=jax.device_put(variables["params"], self._rep),
+                batch_stats=jax.device_put(
+                    variables["batch_stats"], self._rep))
         return state
 
     # ---------------------------------------------------------- epochs

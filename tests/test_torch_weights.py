@@ -217,3 +217,38 @@ def test_encoder18_matches_torch_with_ported_weights():
         w_np = np.transpose(w.numpy(), (0, 2, 3, 1))
         np.testing.assert_allclose(np.asarray(g), w_np, rtol=2e-4, atol=2e-4,
                                    err_msg=f"pyramid level {lvl}")
+
+
+def test_trainer_pretrained_config(tmp_path):
+    """cfg.model.pretrained grafts a torchvision .pth into the encoder at
+    Trainer.init_state (the reference's `pretrained=True` flow end-to-end:
+    file on disk -> trained state), incl. the rgbd 4th-channel widening."""
+    from cspn_monodepth_tpu.configs import get_config
+    from cspn_monodepth_tpu.train.loop import Trainer
+
+    torch.manual_seed(5)
+    tenc = _TorchEncoder18().eval()
+    pth = tmp_path / "resnet18.pth"
+    torch.save(tenc.state_dict(), pth)
+
+    cfg = get_config("synthetic_tiny").override(**{
+        "model.arch": "resnet18",
+        "model.encoder_width": 64,
+        "model.decoder_channels": (32, 24, 16, 16),
+        "model.pretrained": str(pth),
+        "train.checkpoint_dir": str(tmp_path / "ckpt"),
+    })
+    trainer = Trainer(cfg, workdir=str(tmp_path / "ckpt"))
+    state = trainer.init_state()
+
+    # conv1 kernel: (7,7,4,64) NHWC-HWIO; first 3 input channels == the
+    # torch filters, 4th == their mean (torch OIHW -> HWIO transpose).
+    got = np.asarray(
+        jax.tree.leaves({"k": state.params["encoder"]["conv_init"]})[0]
+        if "conv_init" in state.params["encoder"]
+        else state.params["encoder"]["conv1"]["kernel"])
+    want_rgb = np.transpose(tenc.conv1.weight.detach().numpy(),
+                            (2, 3, 1, 0))
+    np.testing.assert_allclose(got[:, :, :3, :], want_rgb, rtol=1e-6)
+    np.testing.assert_allclose(got[:, :, 3, :], want_rgb.mean(axis=2),
+                               rtol=1e-6)
