@@ -119,3 +119,33 @@ class DepthPredictor:
         """Single image (h, w, 3) [+ (h, w) sparse] -> (h, w) depth."""
         sp = None if sparse_depth is None else sparse_depth[None]
         return self.predict_batch(rgb[None], sp)[0]
+
+    # ------------------------------------------------------------ export
+    def export_stablehlo(self, path: str, batch: int = 1):
+        """Serialize the forward pass (weights baked in, eval-mode BN) to a
+        portable StableHLO artifact via jax.export.
+
+        The artifact is loadable WITHOUT this package — any process with
+        jax installed can `jax.export.deserialize(blob).call(x)` and run it
+        on TPU/CPU/GPU, which is the deployment story the reference (a
+        research repo with torch.save checkpoints only, SURVEY.md R13)
+        never had. Input: (batch, height, width, C) float32 with C fixed by
+        the modality (rgb 3 / rgbd 4 / d 1); output (batch, H, W, 1) depth.
+
+        Returns the jax.export.Exported object.
+        """
+        from jax import export as jax_export
+
+        ch = {"rgb": 3, "rgbd": 4, "d": 1}[self.model.modality]
+        spec = jax.ShapeDtypeStruct(
+            (batch, self.height, self.width, ch), jnp.float32)
+        params, stats = self.params, self.batch_stats
+
+        def fwd(x):
+            return self.model.apply(
+                {"params": params, "batch_stats": stats}, x, train=False)
+
+        exp = jax_export.export(jax.jit(fwd))(spec)
+        with open(path, "wb") as f:
+            f.write(exp.serialize())
+        return exp

@@ -65,3 +65,27 @@ def test_missing_checkpoint_raises(tmp_path):
         "data.height": 32, "data.width": 48})
     with pytest.raises(FileNotFoundError):
         DepthPredictor.from_checkpoint(str(tmp_path), cfg)
+
+
+def test_export_stablehlo_roundtrip(tmp_path, trained_ckpt):
+    """Exported StableHLO artifact reproduces predict_batch exactly after
+    deserialization — the portable-deployment contract."""
+    from jax import export as jax_export
+
+    work, cfg = trained_ckpt
+    predictor = DepthPredictor.from_checkpoint(work, cfg)
+    path = tmp_path / "model.stablehlo"
+    predictor.export_stablehlo(str(path), batch=2)
+
+    rng = np.random.default_rng(0)
+    rgb = rng.random((2, cfg.data.height, cfg.data.width, 3),
+                     dtype=np.float32)
+    sparse = np.zeros((2, cfg.data.height, cfg.data.width), np.float32)
+    sparse[:, 5, 7] = 2.5
+    want = predictor.predict_batch(rgb, sparse)
+
+    blob = path.read_bytes()
+    exp = jax_export.deserialize(blob)
+    x = np.concatenate([rgb, sparse[..., None]], axis=-1)
+    got = np.asarray(exp.call(jnp.asarray(x)))[..., 0]
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
