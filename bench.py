@@ -90,9 +90,9 @@ def main():
     @jax.jit
     def infer_chain(state, b, r):
         def body(acc, i):
-            sums, pred = trainer.eval_step_fn(state, b, jax.random.fold_in(r, i))
-            # serial dependence: fold the previous output into the rng arg
-            return acc + jnp.mean(pred) * 1e-9, sums.count
+            sums, pred = trainer.eval_step_fn(state, b, r, i)
+            # serial dependence: fold the previous output into the accumulator
+            return acc + jnp.mean(pred) * 1e-9, sums.n_pixels
         acc, _ = jax.lax.scan(body, 0.0, jnp.arange(n_chain))
         return acc
 

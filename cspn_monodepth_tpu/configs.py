@@ -45,6 +45,10 @@ class DataConfig:
     num_samples: int = 500          # sparse samples (0 = none)
     sampler: str = "uniform"        # uniform | stereo (SimulatedStereo)
     max_depth: float = 10.0         # meters (NYU); 85.0 for KITTI
+    # Eval-only gt depth cap (SURVEY.md section 4.4: KITTI eval capped
+    # 0-80/85 m). Pixels with gt > cap are excluded from eval metrics.
+    # 0 = no cap (NYU).
+    eval_max_depth: float = 0.0
     # Augmentation (SURVEY.md section 4.4 / R10)
     rotate_deg: float = 5.0
     scale_max: float = 1.5
@@ -77,6 +81,10 @@ class TrainConfig:
     lr_decay_every: int = 5         # epochs
     lr_decay_rate: float = 0.2
     loss: str = "masked_mse"        # masked_mse | masked_l1
+    # Metric averaging protocol (train/metrics.py): "image" = reference
+    # Result/AverageMeter per-image averaging (paper-comparable numbers);
+    # "pixel" = global-pixel means.
+    metrics_protocol: str = "image"
     seed: int = 0
     checkpoint_dir: str = "/tmp/cspn_ckpt"
     checkpoint_every: int = 1000    # steps
@@ -136,6 +144,7 @@ CONFIGS: dict[str, Config] = {
         "kitti_1216",
         **{"data.dataset": "kitti", "data.root": "/data/kitti",
            "data.height": 352, "data.width": 1216, "data.max_depth": 85.0,
+           "data.eval_max_depth": 85.0,
            "data.rotate_deg": 0.0, "data.scale_max": 1.0,
            "model.num_iters": 24, "train.batch_size": 8,
            "mesh.data": 2, "mesh.spatial": 4}),

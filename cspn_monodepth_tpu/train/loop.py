@@ -180,17 +180,26 @@ class Trainer:
             (loss, (pred, new_stats)), grads = jax.value_and_grad(
                 loss_of, has_aux=True)(state.params)
             new_state = state.apply_gradients(self.tx, grads, new_stats)
-            sums = metric_sums_from_batch(pred, target)
+            sums = metric_sums_from_batch(
+                pred, target, protocol=cfg.train.metrics_protocol)
             return new_state, loss, sums
 
-        def eval_step(state: TrainState, batch, rng):
+        def eval_step(state: TrainState, batch, rng, batch_idx):
             batch = self._unpack(batch)
+            # Deterministic but i.i.d.-across-batches sparse input: fixed
+            # eval seed folded with the batch index.
+            rng = jax.random.fold_in(rng, batch_idx)
             sparse = self._sample_sparse(rng, batch["depth"], batch["rgb"])
             x = self._assemble_input(batch["rgb"], sparse)
             pred = self.model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 x, train=False)
-            return metric_sums_from_batch(pred, batch["depth"][..., None]), pred
+            sums = metric_sums_from_batch(
+                pred, batch["depth"][..., None],
+                valid_image=batch["valid_image"],
+                max_depth=cfg.data.eval_max_depth,
+                protocol=cfg.train.metrics_protocol)
+            return sums, pred
 
         rep, bsh = self._rep, self._bsh
         # Unjitted step functions are exposed for composition (bench.py
@@ -204,7 +213,7 @@ class Trainer:
         self.eval_step = jax.jit(
             eval_step,
             in_shardings=(rep, {"rgb": bsh, "depth": bsh,
-                                "valid_image": self._bsh1d}, rep),
+                                "valid_image": self._bsh1d}, rep, rep),
             out_shardings=(rep, bsh))
 
     # ---------------------------------------------------------- state
@@ -285,7 +294,7 @@ class Trainer:
         rng = self._epoch_rng(17 * epoch + 1)
 
         meter = AverageMeter()
-        sums = MetricSums.zeros()
+        sums = MetricSums.zeros(cfg.train.metrics_protocol)
         losses = []
         t_end = time.time()
         for step, batch in enumerate(self._epoch_batches(epoch)):
@@ -320,13 +329,13 @@ class Trainer:
             process_count=jax.process_count())
         # Eval sparse input must be deterministic: fixed seed, not step-dep.
         rng = self._epoch_rng(9999)
-        sums = MetricSums.zeros()
+        sums = MetricSums.zeros(cfg.train.metrics_protocol)
         n_img = 0
         t0 = time.time()
         batches = device_prefetch(
             it, {"valid_image": self._bsh1d, "*": self._bsh})
         for i, batch in enumerate(batches):
-            s, pred = self.eval_step(state, batch, rng)
+            s, pred = self.eval_step(state, batch, rng, self._replicate(i))
             sums = sums + s
             n_img += int(np.asarray(jax.device_get(batch["valid_image"])).sum())
             if i == 0 and save_panels and jax.process_index() == 0:

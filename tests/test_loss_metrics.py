@@ -62,9 +62,32 @@ def test_get_loss_fn():
         pass
 
 
-def test_metrics_match_numpy_reference():
+def _numpy_result_evaluate(p, t, max_depth=0.0):
+    """The reference's `Result.evaluate` for ONE image (SURVEY.md R12):
+    metrics over this image's valid pixels."""
+    m = t > 0
+    if max_depth > 0:
+        m &= t <= max_depth
+    pm, tm = np.maximum(p[m], 1e-3), t[m]
+    ratio = np.maximum(pm / tm, tm / pm)
+    inv_p, inv_g = 1000.0 / pm, 1000.0 / tm
+    return {
+        "rmse": np.sqrt(np.mean((pm - tm) ** 2)),
+        "mae": np.mean(np.abs(pm - tm)),
+        "rel": np.mean(np.abs(pm - tm) / tm),
+        "lg10": np.mean(np.abs(np.log10(pm) - np.log10(tm))),
+        "delta1": np.mean(ratio < 1.25),
+        "delta2": np.mean(ratio < 1.25 ** 2),
+        "delta3": np.mean(ratio < 1.25 ** 3),
+        "irmse": np.sqrt(np.mean((inv_p - inv_g) ** 2)),
+        "imae": np.mean(np.abs(inv_p - inv_g)),
+    }
+
+
+def test_metrics_match_numpy_reference_pixel_protocol():
     pred, target = _problem()
-    got = finalize_metrics(metric_sums_from_batch(pred, target))
+    got = finalize_metrics(
+        metric_sums_from_batch(pred, target, protocol="pixel"))
 
     p, t = np.asarray(pred, np.float64), np.asarray(target, np.float64)
     m = t > 0
@@ -86,6 +109,63 @@ def test_metrics_match_numpy_reference():
                                rtol=1e-5)
     np.testing.assert_allclose(got["imae"], np.mean(np.abs(inv_p - inv_g)),
                                rtol=1e-5)
+
+
+def test_metrics_match_reference_per_image_protocol():
+    """Default protocol == reference Result.evaluate per image, then
+    AverageMeter mean across images (VERDICT round-1 item 2)."""
+    pred, target = _problem()
+    got = finalize_metrics(metric_sums_from_batch(pred, target))
+
+    p, t = np.asarray(pred, np.float64), np.asarray(target, np.float64)
+    per_img = [_numpy_result_evaluate(p[i], t[i]) for i in range(p.shape[0])]
+    for k in per_img[0]:
+        want = np.mean([r[k] for r in per_img])
+        np.testing.assert_allclose(got[k], want, rtol=1e-5, err_msg=k)
+    assert got["n_images"] == p.shape[0]
+
+
+def test_metrics_protocols_differ_on_unbalanced_images():
+    """Jensen: per-image RMSE mean != global-pixel RMSE when images have
+    different valid-pixel counts/errors — guard that both paths are live."""
+    pred = jnp.ones((2, 4, 4)) * 2.0
+    target = np.ones((2, 4, 4), np.float32)
+    target[1, :, :2] = 0.0       # image 2 has half the valid pixels
+    target[1] *= 4.0             # and 4x the scale
+    target = jnp.asarray(target)
+    img = finalize_metrics(metric_sums_from_batch(pred, target))
+    pix = finalize_metrics(
+        metric_sums_from_batch(pred, target, protocol="pixel"))
+    assert abs(img["rmse"] - pix["rmse"]) > 1e-3
+
+
+def test_metrics_exclude_padded_images():
+    pred, target = _problem()
+    valid = jnp.asarray([1.0, 0.0])
+    got = finalize_metrics(
+        metric_sums_from_batch(pred, target, valid_image=valid))
+    only_first = finalize_metrics(
+        metric_sums_from_batch(pred[:1], target[:1]))
+    assert got["n_images"] == 1
+    for k in ("rmse", "mae", "rel", "delta1", "irmse"):
+        np.testing.assert_allclose(got[k], only_first[k], rtol=1e-6)
+
+
+def test_metrics_eval_max_depth_cap():
+    """KITTI eval cap (SURVEY.md section 4.4): gt > cap excluded."""
+    rng = np.random.default_rng(3)
+    pred = jnp.asarray(rng.uniform(1, 90, (2, 8, 10)).astype(np.float32))
+    target = jnp.asarray(rng.uniform(1, 90, (2, 8, 10)).astype(np.float32))
+    got = finalize_metrics(
+        metric_sums_from_batch(pred, target, max_depth=80.0))
+    p, t = np.asarray(pred, np.float64), np.asarray(target, np.float64)
+    per_img = [_numpy_result_evaluate(p[i], t[i], max_depth=80.0)
+               for i in range(2)]
+    for k in ("rmse", "rel", "delta1"):
+        want = np.mean([r[k] for r in per_img])
+        np.testing.assert_allclose(got[k], want, rtol=1e-5, err_msg=k)
+    uncapped = finalize_metrics(metric_sums_from_batch(pred, target))
+    assert got["n_valid_pixels"] < uncapped["n_valid_pixels"]
 
 
 def test_metric_sums_are_additive():

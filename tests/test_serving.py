@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from cspn_monodepth_tpu.configs import get_config
 from cspn_monodepth_tpu.serving import DepthPredictor
