@@ -48,15 +48,20 @@ def pack_batch(batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
 
 
 class _PrefetchIterator:
-    """Iterates batches with a bounded background prefetch queue."""
+    """Iterates batches with a bounded background prefetch queue.
 
-    def __init__(self, make_batch, num_batches: int, prefetch: int):
+    `start` skips the first batches by INDEX (no decode work): make_batch
+    is an index-pure function, so mid-epoch resume replays the exact batch
+    sequence of an uninterrupted run from any step."""
+
+    def __init__(self, make_batch, num_batches: int, prefetch: int,
+                 start: int = 0):
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
-        self._n = num_batches
+        self._n = max(num_batches - start, 0)
         self._stop = threading.Event()
 
         def producer():
-            for i in range(num_batches):
+            for i in range(start, num_batches):
                 if self._stop.is_set():
                     return
                 try:
@@ -87,6 +92,7 @@ def make_train_iterator(
     seed: int = 0,
     num_workers: int = 8,
     steps: int = 0,
+    start_step: int = 0,
     process_index: int = 0,
     process_count: int = 1,
     prefetch: int = 4,
@@ -95,6 +101,10 @@ def make_train_iterator(
 
     Drops the final partial batch (static shapes under jit). `steps`
     overrides the epoch length if nonzero (e.g. tiny smoke runs).
+    `start_step` resumes the deterministic batch sequence mid-epoch
+    (checkpoint-restart, SURVEY.md section 6 failure row): the epoch's
+    batches are a pure function of (seed, epoch, step), so starting at
+    step N reproduces exactly what an uninterrupted run saw from step N.
     """
     n = len(dataset)
     assert global_batch % process_count == 0
@@ -112,7 +122,8 @@ def make_train_iterator(
         records = list(pool.map(lambda j: dataset.get(int(j), epoch), idx))
         return pack_batch(_stack(records))
 
-    return _PrefetchIterator(make_batch, num_batches, prefetch)
+    return _PrefetchIterator(make_batch, num_batches, prefetch,
+                             start=start_step)
 
 
 def device_prefetch(iterator, shardings: dict, depth: int = 2):

@@ -219,6 +219,12 @@ class Trainer:
     # ---------------------------------------------------------- state
     def init_state(self) -> TrainState:
         cfg = self.cfg
+        if cfg.model.require_pretrained and not cfg.model.pretrained:
+            raise ValueError(
+                f"config {cfg.name!r} is a paper-exact recipe that is "
+                "unstable from scratch: set model.pretrained to a "
+                "torchvision ResNet .pth (e.g. --set model.pretrained="
+                "/path/to/resnet50.pth)")
         h, w = cfg.data.height, cfg.data.width
         ch = {"rgb": 3, "rgbd": 4, "d": 1}[cfg.model.modality]
         # Dummy batch must be shardable over the "data" axis (the CSPN
@@ -254,17 +260,22 @@ class Trainer:
         return state
 
     # ---------------------------------------------------------- epochs
-    def _epoch_batches(self, epoch: int):
-        """Yield this epoch's device-prefetched batches; with mixing, every
-        mix_every-th batch comes from the secondary dataset."""
+    def _epoch_batches(self, epoch: int, start_step: int = 0):
+        """Yield this epoch's device-prefetched batches from `start_step`
+        on (mid-epoch resume; the sequence is a pure function of
+        (seed, epoch, step)); with mixing, every mix_every-th batch comes
+        from the secondary dataset."""
         cfg = self.cfg
         total = self.steps_per_epoch
         k = cfg.data.mix_every if self.mix_ds is not None else 0
         n_mix = total // k if k else 0
+        # Of the first start_step global steps, start_step // k came from
+        # the mix stream and the rest from the main stream.
+        mix_start = start_step // k if k else 0
         it = make_train_iterator(
             self.train_ds, global_batch=cfg.train.batch_size, epoch=epoch,
             seed=cfg.train.seed, num_workers=cfg.data.num_workers,
-            steps=total - n_mix,
+            steps=total - n_mix, start_step=start_step - mix_start,
             process_index=jax.process_index(),
             process_count=jax.process_count())
         main = device_prefetch(it, {"*": self._bsh})
@@ -275,12 +286,12 @@ class Trainer:
         mix_it = make_train_iterator(
             self.mix_ds, global_batch=cfg.train.batch_size, epoch=epoch,
             seed=cfg.train.seed + 1, num_workers=cfg.data.num_workers,
-            steps=n_mix,
+            steps=n_mix, start_step=mix_start,
             process_index=jax.process_index(),
             process_count=jax.process_count())
         mix = device_prefetch(mix_it, {"*": self._bsh})
         main_iter, mix_iter = iter(main), iter(mix)
-        for step in range(total):
+        for step in range(start_step, total):
             src = mix_iter if (step % k == k - 1) else main_iter
             try:
                 yield next(src)
@@ -289,7 +300,18 @@ class Trainer:
         it.close()
         mix_it.close()
 
-    def train_epoch(self, state: TrainState, epoch: int, log=print):
+    def train_epoch(self, state: TrainState, epoch: int, log=print,
+                    start_step: int = 0, ckpt=None, ckpt_extra=None,
+                    max_steps: int | None = None):
+        """Run one epoch (from `start_step` when resuming mid-epoch).
+
+        With `ckpt` set and cfg.train.checkpoint_every > 0, the TrainState
+        is saved every N steps with {"epoch", "epoch_step"} extras so a
+        crash loses at most N steps, not the epoch (SURVEY.md section 6
+        failure-detection row). `max_steps` stops the epoch early after
+        that many executed steps — the fault-injection hook the
+        kill-at-step-N/resume test uses to simulate a crash.
+        """
         cfg = self.cfg
         rng = self._epoch_rng(17 * epoch + 1)
 
@@ -297,7 +319,8 @@ class Trainer:
         sums = MetricSums.zeros(cfg.train.metrics_protocol)
         losses = []
         t_end = time.time()
-        for step, batch in enumerate(self._epoch_batches(epoch)):
+        for step, batch in enumerate(self._epoch_batches(epoch, start_step),
+                                     start=start_step):
             data_time = time.time() - t_end
             state, loss, s = self.train_step(state, batch, rng)
             if step % cfg.train.log_every == 0:
@@ -311,10 +334,20 @@ class Trainer:
                          step_time=time.time() - t_end - data_time)
             losses.append(loss)
             sums = sums + s
+            if (ckpt is not None and cfg.train.checkpoint_every > 0
+                    and (step + 1) % cfg.train.checkpoint_every == 0
+                    and step + 1 < self.steps_per_epoch):
+                ckpt.save(int(jax.device_get(state.step)), state,
+                          extra={**(ckpt_extra or {}), "epoch": epoch,
+                                 "epoch_step": step + 1})
+            if max_steps is not None and step + 1 - start_step >= max_steps:
+                break
             t_end = time.time()
 
         metrics = finalize_metrics(sums)
-        metrics["loss"] = float(jnp.mean(jnp.stack(losses)))
+        metrics["loss"] = (float(jnp.mean(jnp.stack(losses)))
+                           if losses else float("nan"))
+        metrics["step_losses"] = [float(x) for x in jax.device_get(losses)]
         metrics.update(meter.average())
         metrics["lr"] = float(self.lr_schedule(state.step))
         return state, metrics
@@ -367,8 +400,11 @@ class Trainer:
             rows = [merge_into_row(rgb[i], None, depth[i], pred_np[i])
                     for i in range(min(4, rgb.shape[0]))]
             tag = "latest" if epoch is None else f"epoch{epoch:03d}"
-            save_image(np.concatenate(rows, axis=0),
-                       f"{self.workdir}/comparison_{tag}.png")
+            strip = np.concatenate(rows, axis=0)
+            save_image(strip, f"{self.workdir}/comparison_{tag}.png")
+            # Exposed for TensorBoard image logging (fit) — SURVEY.md
+            # section 6 metrics row: "colored depth image panels".
+            self.last_panel = strip
         except Exception as e:  # visualization must never kill eval
             print(f"panel save failed: {e}")
 
@@ -378,15 +414,23 @@ class Trainer:
         ckpt = CheckpointManager(self.workdir)
         state = self.init_state()
         start_epoch = 0
+        start_step = 0
         best_rmse = float("inf")
 
         restored, extra = ckpt.restore(abstract_state_of(state))
         if restored is not None:
             state = restored
-            start_epoch = int(extra.get("epoch", -1)) + 1
+            ep = int(extra.get("epoch", -1))
+            es = int(extra.get("epoch_step", 0) or 0)
+            if 0 < es < self.steps_per_epoch:
+                # Mid-epoch checkpoint: resume inside the epoch; the batch
+                # sequence is a pure function of (seed, epoch, step).
+                start_epoch, start_step = ep, es
+            else:
+                start_epoch, start_step = ep + 1, 0
             best_rmse = float(extra.get("best_rmse", float("inf")))
             log(f"resumed from step {int(jax.device_get(state.step))}, "
-                f"epoch {start_epoch}")
+                f"epoch {start_epoch} step {start_step}")
 
         train_csv = CSVLogger(f"{self.workdir}/train.csv", METRIC_FIELDS)
         test_csv = CSVLogger(f"{self.workdir}/test.csv", METRIC_FIELDS)
@@ -396,17 +440,24 @@ class Trainer:
                       enabled=jax.process_index() == 0)
 
         for epoch in range(start_epoch, cfg.train.epochs):
-            state, train_metrics = self.train_epoch(state, epoch, log=log)
+            state, train_metrics = self.train_epoch(
+                state, epoch, log=log,
+                start_step=start_step if epoch == start_epoch else 0,
+                ckpt=ckpt, ckpt_extra={"best_rmse": best_rmse,
+                                       "config": cfg.name})
             train_csv.append({"epoch": epoch, **{
                 k: f"{v:.6f}" for k, v in train_metrics.items()
                 if isinstance(v, float)}})
             tb.scalars("train", train_metrics, epoch)
 
+            self.last_panel = None
             eval_metrics = self.evaluate(state, log=log, epoch=epoch)
             test_csv.append({"epoch": epoch, **{
                 k: f"{v:.6f}" for k, v in eval_metrics.items()
                 if isinstance(v, float)}})
             tb.scalars("eval", eval_metrics, epoch)
+            if self.last_panel is not None:
+                tb.image("eval/rgb_sparse_gt_pred", self.last_panel, epoch)
             tb.flush()
 
             is_best = eval_metrics["rmse"] < best_rmse

@@ -43,6 +43,12 @@ def make_lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
     return schedule
 
 
+def _encoder_mask(params):
+    """True for every leaf under the top-level "encoder" subtree."""
+    return {k: jax.tree.map(lambda _: k == "encoder", v)
+            for k, v in params.items()}
+
+
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
     schedule = make_lr_schedule(cfg, steps_per_epoch)
     clip = ([optax.clip_by_global_norm(cfg.clip_norm)]
@@ -61,6 +67,12 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
         )
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    # Reference recipe (SURVEY.md section 4.6): pretrained (encoder) layers
+    # at a fraction of the base lr. Scaling the final update by the
+    # multiplier == running that group at lr * mult (SGD applies lr last).
+    mult = getattr(cfg, "encoder_lr_mult", 1.0)
+    if mult != 1.0:
+        tx = optax.chain(tx, optax.masked(optax.scale(mult), _encoder_mask))
     return tx, schedule
 
 

@@ -148,6 +148,72 @@ class TorchCSPNNet(nn.Module):
         return self.cspn(guide, blur, sparse)
 
 
+def flax_to_torch_state_dict(params, batch_stats,
+                             stage_sizes=(3, 4, 6, 3)):
+    """Export CSPNDepthNet (flax) weights to a TorchCSPNNet state_dict.
+
+    Inverse of models/torch_weights.py for the full network — used by the
+    full-model parity test (the two implementations must be functionally
+    identical nets) and to baseline trained weights in torch. The flax
+    decoder holds separate up/skip kernels (models/unet.py handles the
+    skip concat by linearity); torch's single concat-conv weight is their
+    input-channel concatenation.
+    """
+    import numpy as np
+
+    sd: dict[str, torch.Tensor] = {}
+
+    def conv_w(k):  # flax (kH, kW, I, O) -> torch (O, I, kH, kW)
+        return torch.from_numpy(
+            np.transpose(np.asarray(k, np.float32), (3, 2, 0, 1)).copy())
+
+    def vec(v):
+        return torch.from_numpy(np.asarray(v, np.float32).copy())
+
+    def put_bn(dst, p, s):
+        sd[f"{dst}.weight"] = vec(p["scale"])
+        sd[f"{dst}.bias"] = vec(p["bias"])
+        sd[f"{dst}.running_mean"] = vec(s["mean"])
+        sd[f"{dst}.running_var"] = vec(s["var"])
+
+    enc, encs = params["encoder"], batch_stats["encoder"]
+    sd["conv1.weight"] = conv_w(enc["conv1"]["kernel"])
+    put_bn("bn1", enc["bn1"], encs["bn1"])
+    for s, n_blocks in enumerate(stage_sizes):
+        for b in range(n_blocks):
+            src, dst = f"layer{s + 1}_block{b}", f"layers.{s}.{b}"
+            p, st = enc[src], encs[src]
+            for i in (1, 2, 3):
+                sd[f"{dst}.conv{i}.weight"] = conv_w(p[f"conv{i}"]["kernel"])
+                put_bn(f"{dst}.bn{i}", p[f"bn{i}"], st[f"bn{i}"])
+            if "conv_proj" in p:
+                sd[f"{dst}.down.0.weight"] = conv_w(p["conv_proj"]["kernel"])
+                put_bn(f"{dst}.down.1", p["bn_proj"], st["bn_proj"])
+
+    dec, decs = params["decoder"], batch_stats["decoder"]
+    sd["bottleneck.0.weight"] = conv_w(dec["bottleneck"]["kernel"])
+    put_bn("bottleneck.1", dec["bottleneck_bn"], decs["bottleneck_bn"])
+    for i in range(1, 6):
+        p, st = dec[f"upproj{i}"], decs[f"upproj{i}"]
+        k1, k2 = p["conv1a_up"], p["conv2_up"]
+        if "conv1a_skip" in p:
+            import numpy as _np
+            k1 = _np.concatenate([k1, p["conv1a_skip"]], axis=2)
+            k2 = _np.concatenate([k2, p["conv2_skip"]], axis=2)
+        sd[f"up{i}.c1a.weight"] = conv_w(k1)
+        sd[f"up{i}.c2.weight"] = conv_w(k2)
+        sd[f"up{i}.c1b.weight"] = conv_w(p["conv1b"]["kernel"])
+        put_bn(f"up{i}.b1a", p["bn1a"], st["bn1a"])
+        put_bn(f"up{i}.b1b", p["bn1b"], st["bn1b"])
+        put_bn(f"up{i}.b2", p["bn2"], st["bn2"])
+
+    sd["depth_head.weight"] = conv_w(params["depth_head_kernel"])
+    sd["depth_head.bias"] = vec(params["depth_head_bias"])
+    sd["guide_head.weight"] = conv_w(params["guidance_head_kernel"])
+    sd["guide_head.bias"] = vec(params["guidance_head_bias"])
+    return sd
+
+
 def main():
     torch.manual_seed(0)
     batch = int(os.environ.get("BENCH_BATCH", "8"))
