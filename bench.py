@@ -4,13 +4,18 @@ NYU 304x228 (BASELINE.json driver metric).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/s/chip", "vs_baseline": N, ...}
 
-Measurement methodology — serial chaining: N steps run as one lax.scan
-inside a single jit with a data dependence between steps, and the wall
-clock closes only after a SCALAR device->host readback of the final loss.
-The device cannot produce that scalar before all N steps complete, so the
-timing is honest even when the PJRT transport acknowledges dispatches
-asynchronously (this environment's tunneled TPU does — naive
-block_until_ready timing overreports throughput by >10x there).
+Measurement methodology — MARGINAL serial chaining: two chains of N and
+5N serially-dependent steps each run as one lax.scan inside a single jit,
+the wall clock closing only after a SCALAR device->host readback of the
+final loss. The device cannot produce that scalar before all steps
+complete, so the timing is honest even when the PJRT transport
+acknowledges dispatches asynchronously (this environment's tunneled TPU
+does — naive block_until_ready timing overreports throughput by >10x).
+The per-step time is the DIFFERENCE (t_5N - t_N) / 4N: the tunnel also
+adds a large, run-varying fixed latency per dispatch (5-25 ms round-trip
+measured), which a single chain at N=10 would smear into every step as
+RTT/N; differencing two chain lengths cancels it exactly. A real training
+loop pays that latency once, not per step (dispatches pipeline).
 
 The combined number is the throughput of a pipeline that both trains and
 runs refined inference on every image: 1 / (1/train_ips + 1/infer_ips).
@@ -65,41 +70,58 @@ def main():
     }
     rng = jax.device_put(jax.random.key(0), trainer._rep)
 
-    # --- train chain: N serial full train steps (fwd+bwd+update+metrics)
-    @jax.jit
-    def train_chain(state, b, r):
-        def body(st, i):
-            st, loss, _ = trainer.train_step_fn(st, b, jax.random.fold_in(r, i))
-            return st, loss
-        st, losses = jax.lax.scan(body, state, jnp.arange(n_chain))
-        return st, losses[-1]
+    # --- train chain: serial full train steps (fwd+bwd+update+metrics)
+    def make_train_chain(length):
+        @jax.jit
+        def train_chain(state, b, r):
+            def body(st, i):
+                st, loss, _ = trainer.train_step_fn(
+                    st, b, jax.random.fold_in(r, i))
+                return st, loss
+            st, losses = jax.lax.scan(body, state, jnp.arange(length))
+            return st, losses[-1]
+        return train_chain
 
-    state2, loss = train_chain(state, dev_batch, rng)
+    def timed(fn, *args):
+        out = fn(*args)                 # warm (compile) + sync
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            # scalar readback closes the clock
+            _ = float(jnp.sum(jax.tree.leaves(out)[-1].ravel()[0]))
+            best = min(best, time.perf_counter() - t0)
+        return best, out
+
+    short_chain = make_train_chain(n_chain)
+    long_chain = make_train_chain(5 * n_chain)
+    t_short, (state2, loss) = timed(short_chain, state, dev_batch, rng)
     assert bool(jnp.isfinite(loss)), float(loss)
-    t0 = time.perf_counter()
-    _, loss = train_chain(state, dev_batch, rng)
-    _ = float(loss)                     # scalar readback closes the clock
-    t_train = (time.perf_counter() - t0) / n_chain
+    t_long, _ = timed(long_chain, state, dev_batch, rng)
+    t_train = max(t_long - t_short, 1e-9) / (4 * n_chain)
+    dispatch_ms = max(t_short - n_chain * t_train, 0.0) * 1e3
     train_ips = batch / t_train
 
-    # --- inference chain: N serial eval forwards with refined CSPN
+    # --- inference chain: serial eval forwards with refined CSPN
     eval_batch = {**dev_batch,
                   "valid_image": jax.device_put(
                       np.ones(batch, "float32"), trainer._bsh1d)}
 
-    @jax.jit
-    def infer_chain(state, b, r):
-        def body(acc, i):
-            sums, pred = trainer.eval_step_fn(state, b, r, i)
-            # serial dependence: fold the previous output into the accumulator
-            return acc + jnp.mean(pred) * 1e-9, sums.n_pixels
-        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(n_chain))
-        return acc
+    def make_infer_chain(length):
+        @jax.jit
+        def infer_chain(state, b, r):
+            def body(acc, i):
+                sums, pred = trainer.eval_step_fn(state, b, r, i)
+                # serial dependence: fold the previous output into the acc
+                return acc + jnp.mean(pred) * 1e-9, sums.n_pixels
+            acc, _ = jax.lax.scan(body, 0.0, jnp.arange(length))
+            return acc
+        return infer_chain
 
-    _ = float(infer_chain(state2, eval_batch, rng))
-    t0 = time.perf_counter()
-    _ = float(infer_chain(state2, eval_batch, rng))
-    t_infer = (time.perf_counter() - t0) / n_chain
+    t_short, _ = timed(make_infer_chain(n_chain), state2, eval_batch, rng)
+    t_long, _ = timed(make_infer_chain(5 * n_chain), state2, eval_batch, rng)
+    t_infer = max(t_long - t_short, 1e-9) / (4 * n_chain)
     infer_ips = batch / t_infer
 
     combined = 1.0 / (1.0 / train_ips + 1.0 / infer_ips)
@@ -126,6 +148,7 @@ def main():
         "infer_images_per_sec": round(infer_ips, 2),
         "batch": batch,
         "chain_len": n_chain,
+        "dispatch_overhead_ms": round(dispatch_ms, 1),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }))

@@ -21,7 +21,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def chain_time(fn, init_carry, n, params=None):
-    """Time n serially-dependent applications of carry -> carry scalar-dep.
+    """MARGINAL time of one application of carry -> carry.
+
+    Two serial chains (lengths n and 5n) are timed and differenced:
+    step = (t_5n - t_n) / (4n). The tunneled PJRT transport adds a LARGE,
+    run-varying fixed latency per dispatch (measured 5-25 ms round-trip;
+    tools/bench_bw.py + /tmp rtt calibration) — differencing two chain
+    lengths cancels it exactly, while a single-chain measurement at n=10
+    silently adds RTT/10 per step.
 
     params (a pytree) is passed as a jit ARGUMENT, not a closure constant —
     closed-over weights are embedded in the HLO proto, which the tunnel's
@@ -30,20 +37,31 @@ def chain_time(fn, init_carry, n, params=None):
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def chained(c, p):
-        def body(c, _):
-            c = fn(c, p)
-            return c, None
-        c, _ = jax.lax.scan(body, c, None, length=n)
-        return c
+    def make(length):
+        @jax.jit
+        def chained(c, p):
+            def body(c, _):
+                c = fn(c, p)
+                return c, None
+            c, _ = jax.lax.scan(body, c, None, length=length)
+            return c
+        return chained
 
-    out = chained(init_carry, params)
-    _ = float(jnp.sum(jax.tree.leaves(out)[0][..., :1]))  # warm + sync
-    t0 = time.perf_counter()
-    out = chained(init_carry, params)
-    _ = float(jnp.sum(jax.tree.leaves(out)[0][..., :1]))
-    return (time.perf_counter() - t0) / n
+    short, long_ = make(n), make(5 * n)
+
+    def run(chained):
+        out = chained(init_carry, params)
+        _ = float(jnp.sum(jax.tree.leaves(out)[0][..., :1]))  # warm + sync
+        best = float("inf")
+        for _i in range(2):
+            t0 = time.perf_counter()
+            out = chained(init_carry, params)
+            _ = float(jnp.sum(jax.tree.leaves(out)[0][..., :1]))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_short, t_long = run(short), run(long_)
+    return max(t_long - t_short, 1e-9) / (4 * n)
 
 
 def main():
