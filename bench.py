@@ -14,8 +14,12 @@ does — naive block_until_ready timing overreports throughput by >10x).
 The per-step time is the DIFFERENCE (t_5N - t_N) / 4N: the tunnel also
 adds a large, run-varying fixed latency per dispatch (5-25 ms round-trip
 measured), which a single chain at N=10 would smear into every step as
-RTT/N; differencing two chain lengths cancels it exactly. A real training
-loop pays that latency once, not per step (dispatches pipeline).
+RTT/N; differencing two chain lengths cancels it in expectation (each
+chain is timed as a min over several repetitions, bounding the residual
+by the latency spread; a non-positive difference is treated as a
+measurement failure — retried with more repetitions, then raised, never
+clamped). A real training loop pays that latency once, not per step
+(dispatches pipeline).
 
 The combined number is the throughput of a pipeline that both trains and
 runs refined inference on every image: 1 / (1/train_ips + 1/infer_ips).
@@ -82,11 +86,11 @@ def main():
             return st, losses[-1]
         return train_chain
 
-    def timed(fn, *args):
+    def timed(fn, *args, reps=2):
         out = fn(*args)                 # warm (compile) + sync
         jax.block_until_ready(out)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.perf_counter()
             out = fn(*args)
             # scalar readback closes the clock
@@ -94,12 +98,27 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best, out
 
+    def marginal(short_fn, long_fn, *args):
+        """Per-step seconds + (t_short, short output). A non-positive
+        chain difference means the run-varying dispatch latency swamped
+        the signal: retry with more repetitions, then raise — clamping
+        would print an absurdly inflated images/s with no error."""
+        reps, t_short, t_long = 2, 0.0, 0.0
+        for _attempt in range(3):
+            t_short, out_short = timed(short_fn, *args, reps=reps)
+            t_long, _ = timed(long_fn, *args, reps=reps)
+            if t_long > t_short:
+                return (t_long - t_short) / (4 * n_chain), t_short, out_short
+            reps += 2
+        raise RuntimeError(
+            f"marginal timing failed: t_5n={t_long:.4f}s <= "
+            f"t_n={t_short:.4f}s after 3 attempts; increase BENCH_ITERS")
+
     short_chain = make_train_chain(n_chain)
     long_chain = make_train_chain(5 * n_chain)
-    t_short, (state2, loss) = timed(short_chain, state, dev_batch, rng)
+    t_train, t_short, (state2, loss) = marginal(
+        short_chain, long_chain, state, dev_batch, rng)
     assert bool(jnp.isfinite(loss)), float(loss)
-    t_long, _ = timed(long_chain, state, dev_batch, rng)
-    t_train = max(t_long - t_short, 1e-9) / (4 * n_chain)
     dispatch_ms = max(t_short - n_chain * t_train, 0.0) * 1e3
     train_ips = batch / t_train
 
@@ -119,9 +138,9 @@ def main():
             return acc
         return infer_chain
 
-    t_short, _ = timed(make_infer_chain(n_chain), state2, eval_batch, rng)
-    t_long, _ = timed(make_infer_chain(5 * n_chain), state2, eval_batch, rng)
-    t_infer = max(t_long - t_short, 1e-9) / (4 * n_chain)
+    t_infer, _, _ = marginal(make_infer_chain(n_chain),
+                             make_infer_chain(5 * n_chain),
+                             state2, eval_batch, rng)
     infer_ips = batch / t_infer
 
     combined = 1.0 / (1.0 / train_ips + 1.0 / infer_ips)

@@ -51,6 +51,61 @@ class StepTimer:
         return sum(self.times) / max(len(self.times), 1)
 
 
+def marginal_chain(fn, carry, params=None, n=10, reps=2, max_retries=3):
+    """Marginal per-step seconds of a `carry, params -> carry` function.
+
+    Canonical implementation of the serial-chain methodology every bench
+    tool shares (bench.py docstring): two chains of n and 5n serially-
+    dependent steps each run as one lax.scan under a single jit, the clock
+    closed by a scalar readback; per-step time is (t_5n - t_n) / (4n).
+    The tunneled PJRT transport adds a large run-varying fixed dispatch
+    latency (5-25 ms measured), which differencing cancels in expectation —
+    with min-of-`reps` per chain the residual error is bounded by the
+    latency spread, so a non-positive difference is treated as a
+    MEASUREMENT FAILURE: retried with more repetitions, then raised —
+    never silently clamped (a clamp would print absurd throughput).
+
+    Returns (step_seconds, dispatch_seconds).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def make(length):
+        @jax.jit
+        def chained(c, p):
+            def body(c, _):
+                return fn(c, p), None
+            c, _ = lax.scan(body, c, None, length=length)
+            return c
+        return chained
+
+    short, long_ = make(n), make(5 * n)
+
+    def run(chained, r):
+        out = chained(carry, params)        # warm (compile on first call)
+        _ = float(jnp.sum(jax.tree.leaves(out)[0][..., :1]))
+        best = float("inf")
+        for _i in range(r):
+            t0 = time.perf_counter()
+            out = chained(carry, params)
+            _ = float(jnp.sum(jax.tree.leaves(out)[0][..., :1]))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_short = t_long = 0.0
+    for _attempt in range(max_retries):
+        t_short, t_long = run(short, reps), run(long_, reps)
+        if t_long > t_short:
+            step = (t_long - t_short) / (4 * n)
+            return step, max(t_short - n * step, 0.0)
+        reps += 2
+    raise RuntimeError(
+        f"marginal-chain timing failed: t_5n={t_long:.4f}s <= "
+        f"t_n={t_short:.4f}s after {max_retries} attempts - dispatch "
+        f"latency noise exceeds the chain signal; increase n")
+
+
 # TPU v5e (lite) HBM bandwidth ~ 819 GB/s; v4 ~ 1228 GB/s. Used only for
 # roofline *estimates* printed next to measurements.
 HBM_GBPS = {"v5 lite": 819.0, "v5e": 819.0, "v4": 1228.0, "v5p": 2765.0}

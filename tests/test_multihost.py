@@ -44,8 +44,20 @@ trainer = Trainer(cfg, workdir=f"/tmp/mh_{nproc}_{pid}")
 state = trainer.init_state()
 # The real per-host path: sharded iterator -> global arrays -> train step.
 state, metrics = trainer.train_epoch(state, 0, log=lambda *a: None)
+
+# Distributed eval equality (SURVEY.md section 5.2 item 5): run the full
+# Trainer.evaluate under this process layout on a val set whose size does
+# NOT divide the global batch (11 images, batch 8 -> the final batch is
+# padded, one host's shard of it entirely padding) so the padded-batch +
+# valid_image + psum'd per-image-sum path is exercised across processes.
+trainer.val_ds.length = 11
+ev = trainer.evaluate(state, log=lambda *a: None, save_panels=False)
 print(json.dumps({"pid": pid, "loss": float(metrics["loss"]),
-                  "count": float(metrics["n_valid_pixels"])}), flush=True)
+                  "count": float(metrics["n_valid_pixels"]),
+                  "eval_rmse": float(ev["rmse"]),
+                  "eval_delta1": float(ev["delta1"]),
+                  "eval_mae": float(ev["mae"]),
+                  "eval_n_images": float(ev["n_images"])}), flush=True)
 """
 
 
@@ -79,3 +91,13 @@ def test_two_process_dp_matches_single_process(tmp_path):
     # and it equals the single-process value on the same global batch
     np.testing.assert_allclose(losses[0], ref["loss"], rtol=1e-4)
     np.testing.assert_allclose(outs[0]["count"], ref["count"], rtol=1e-6)
+
+    # distributed eval == single-process eval on the padded 11-image val
+    # set (metrics psum'd across processes; exactly 11 images counted)
+    assert outs[0]["eval_n_images"] == 11.0
+    assert ref["eval_n_images"] == 11.0
+    for k in ("eval_rmse", "eval_delta1", "eval_mae"):
+        np.testing.assert_allclose(outs[0][k], outs[1][k], rtol=1e-6,
+                                   err_msg=k)
+        np.testing.assert_allclose(outs[0][k], ref[k], rtol=1e-4,
+                                   err_msg=k)

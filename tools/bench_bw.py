@@ -32,19 +32,14 @@ from jax import lax
 
 
 def chain_ms(fn, carry, params, n=10):
-    @jax.jit
-    def chained(c, p):
-        def body(c, _):
-            return fn(c, p), None
-        c, _ = lax.scan(body, c, None, length=n)
-        return c
+    """Marginal two-length chain (utils/profiling.marginal_chain): the old
+    single-chain version here smeared the 5-25 ms tunnel dispatch latency
+    as RTT/n into every step, understating the sub-ms copy-probe ceilings
+    this tool exists to calibrate by 2-4x."""
+    from cspn_monodepth_tpu.utils.profiling import marginal_chain
 
-    out = chained(carry, params)
-    _ = float(jnp.sum(jax.tree.leaves(out)[0][..., :1]))
-    t0 = time.perf_counter()
-    out = chained(carry, params)
-    _ = float(jnp.sum(jax.tree.leaves(out)[0][..., :1]))
-    return (time.perf_counter() - t0) / n * 1e3
+    step, _ = marginal_chain(fn, carry, params, n=n)
+    return step * 1e3
 
 
 def main():
@@ -54,12 +49,15 @@ def main():
 
     scale = jnp.bfloat16(1.0000001)
 
-    # copy streams: read + write the carry once per step
+    # copy streams: read + write the carry once per step. A bare `c*k`
+    # chain gets strength-reduced by XLA (the marginal difference measures
+    # ~0); rolling the leading dim each step forces a real data movement
+    # that cannot collapse across iterations.
     for name, shape in [("copy64", (32, 228, 304, 64)),
                         ("copy128", (32, 228, 304, 128)),
                         ("copy2d", (32 * 228 * 304, 64))]:
         c = jax.random.uniform(key, shape, bf)
-        t = chain_ms(lambda c, _: c * scale, c, ())
+        t = chain_ms(lambda c, _: jnp.roll(c, 1, axis=0) * scale, c, ())
         gb = 2 * c.size * 2 / 1e9
         res[f"{name}_ms"] = round(t, 3)
         res[f"{name}_gbps"] = round(gb / (t / 1e3), 1)

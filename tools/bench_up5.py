@@ -36,44 +36,25 @@ DN = ("NHWC", "HWIO", "NHWC")
 
 
 def chain_ms(fn, x, params, n=10, train=False):
-    """Marginal per-step ms: (t_5n - t_n) / 4n cancels the tunnel's large
-    run-varying fixed dispatch latency (see profile_components.chain_time)."""
-    def make(length, train):
-        @jax.jit
-        def chained(c, p):
-            def body(c, _):
-                y = fn(c, p)
-                return c + jnp.mean(y).astype(c.dtype) * 1e-9, None
-            c, _ = lax.scan(body, c, None, length=length)
-            return c
+    """Marginal per-step ms via utils/profiling.marginal_chain (two-length
+    differencing cancels the tunnel's run-varying dispatch latency in
+    expectation; non-positive differences retry, then raise)."""
+    from cspn_monodepth_tpu.utils.profiling import marginal_chain
 
-        @jax.jit
-        def chained_bwd(c, p):
-            def one(cc, pp):
-                return jnp.mean(fn(cc, pp).astype(jnp.float32) ** 2)
+    if train:
+        def one(cc, pp):
+            return jnp.mean(fn(cc, pp).astype(jnp.float32) ** 2)
 
-            def body(c, _):
-                g = jax.grad(one)(c, p)
-                return c - 1e-9 * g.astype(c.dtype), None
-            c, _ = lax.scan(body, c, None, length=length)
-            return c
+        def step_fn(c, p):
+            g = jax.grad(one)(c, p)
+            return c - 1e-9 * g.astype(c.dtype)
+    else:
+        def step_fn(c, p):
+            y = fn(c, p)
+            return c + jnp.mean(y).astype(c.dtype) * 1e-9
 
-        return chained_bwd if train else chained
-
-    def run(f):
-        out = f(x, params)
-        _ = float(jnp.sum(out[..., :1, :1]))
-        best = float("inf")
-        for _i in range(2):
-            t0 = time.perf_counter()
-            out = f(x, params)
-            _ = float(jnp.sum(out[..., :1, :1]))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t_short = run(make(n, train))
-    t_long = run(make(5 * n, train))
-    return round(max(t_long - t_short, 1e-9) / (4 * n) * 1e3, 3)
+    step, _ = marginal_chain(step_fn, x, params, n=n)
+    return round(step * 1e3, 3)
 
 
 def main():

@@ -34,20 +34,17 @@ DN = ("NHWC", "HWIO", "NHWC")
 
 
 def chain_ms(fn, x, params, n=10):
-    @jax.jit
-    def chained(c, p):
-        def body(c, _):
-            y = fn(c, p)
-            return c + jnp.mean(y).astype(c.dtype) * 1e-9, None
-        c, _ = lax.scan(body, c, None, length=n)
-        return c
+    """Marginal two-length chain (utils/profiling.marginal_chain), same
+    methodology as bench_up5.py so the two tools' numbers are comparable
+    (the old single-chain variant here included ~RTT/n fixed overhead)."""
+    from cspn_monodepth_tpu.utils.profiling import marginal_chain
 
-    out = chained(x, params)
-    _ = float(jnp.sum(out[..., :1, :1]))
-    t0 = time.perf_counter()
-    out = chained(x, params)
-    _ = float(jnp.sum(out[..., :1, :1]))
-    return round((time.perf_counter() - t0) / n * 1e3, 3)
+    def step_fn(c, p):
+        y = fn(c, p)
+        return c + jnp.mean(y).astype(c.dtype) * 1e-9
+
+    step, _ = marginal_chain(step_fn, x, params, n=n)
+    return round(step * 1e3, 3)
 
 
 def main():

@@ -23,45 +23,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def chain_time(fn, init_carry, n, params=None):
     """MARGINAL time of one application of carry -> carry.
 
-    Two serial chains (lengths n and 5n) are timed and differenced:
-    step = (t_5n - t_n) / (4n). The tunneled PJRT transport adds a LARGE,
-    run-varying fixed latency per dispatch (measured 5-25 ms round-trip;
-    tools/bench_bw.py + /tmp rtt calibration) — differencing two chain
-    lengths cancels it exactly, while a single-chain measurement at n=10
-    silently adds RTT/10 per step.
+    Delegates to the canonical utils/profiling.marginal_chain (two serial
+    chains of n and 5n differenced; non-positive differences are retried
+    with more repetitions and then raised, never clamped).
 
     params (a pytree) is passed as a jit ARGUMENT, not a closure constant —
     closed-over weights are embedded in the HLO proto, which the tunnel's
     remote-compile endpoint rejects above ~100 MB (HTTP 413).
     """
-    import jax
-    import jax.numpy as jnp
+    from cspn_monodepth_tpu.utils.profiling import marginal_chain
 
-    def make(length):
-        @jax.jit
-        def chained(c, p):
-            def body(c, _):
-                c = fn(c, p)
-                return c, None
-            c, _ = jax.lax.scan(body, c, None, length=length)
-            return c
-        return chained
-
-    short, long_ = make(n), make(5 * n)
-
-    def run(chained):
-        out = chained(init_carry, params)
-        _ = float(jnp.sum(jax.tree.leaves(out)[0][..., :1]))  # warm + sync
-        best = float("inf")
-        for _i in range(2):
-            t0 = time.perf_counter()
-            out = chained(init_carry, params)
-            _ = float(jnp.sum(jax.tree.leaves(out)[0][..., :1]))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t_short, t_long = run(short), run(long_)
-    return max(t_long - t_short, 1e-9) / (4 * n)
+    step, _dispatch = marginal_chain(fn, init_carry, params, n=n)
+    return step
 
 
 def main():

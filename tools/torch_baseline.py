@@ -50,8 +50,18 @@ class Bottleneck(nn.Module):
 
 
 class UpProj(nn.Module):
-    def __init__(self, cin, cout):
+    """FCRN up-projection. `crop_after=False` (default) crops the
+    upsampled map to out_hw BEFORE the 5x5 convs; `crop_after=True` convs
+    the full 2Hx2W map and crops the conv OUTPUTS — the ordering the flax
+    decoder's sub-pixel decomposition implies (models/unet.py docstring:
+    both are valid SAME-conv semantics; they differ only in the last
+    row/col at odd sizes). The second mode zero-extends the skip to the
+    upsampled size, which is exactly SAME zero padding of an out_hw-sized
+    skip once the output is cropped."""
+
+    def __init__(self, cin, cout, crop_after=False):
         super().__init__()
+        self.crop_after = crop_after
         self.c1a = nn.Conv2d(cin, cout, 5, padding=2, bias=False)
         self.b1a = nn.BatchNorm2d(cout)
         self.c1b = nn.Conv2d(cout, cout, 3, padding=1, bias=False)
@@ -61,11 +71,20 @@ class UpProj(nn.Module):
 
     def forward(self, x, out_hw, skip=None):
         x = F.interpolate(x, scale_factor=2, mode="nearest")
-        x = x[:, :, :out_hw[0], :out_hw[1]]
-        if skip is not None:
-            x = torch.cat([x, skip], dim=1)
-        a = self.b1b(self.c1b(F.relu(self.b1a(self.c1a(x)))))
-        b = self.b2(self.c2(x))
+        if self.crop_after:
+            if skip is not None:
+                skip = F.pad(skip, (0, x.shape[3] - skip.shape[3],
+                                    0, x.shape[2] - skip.shape[2]))
+                x = torch.cat([x, skip], dim=1)
+            a = self.c1a(x)[:, :, :out_hw[0], :out_hw[1]]
+            b = self.c2(x)[:, :, :out_hw[0], :out_hw[1]]
+        else:
+            x = x[:, :, :out_hw[0], :out_hw[1]]
+            if skip is not None:
+                x = torch.cat([x, skip], dim=1)
+            a, b = self.c1a(x), self.c2(x)
+        a = self.b1b(self.c1b(F.relu(self.b1a(a))))
+        b = self.b2(b)
         return F.relu(a + b)
 
 
@@ -102,7 +121,7 @@ class AffinityPropagate(nn.Module):
 
 
 class TorchCSPNNet(nn.Module):
-    def __init__(self, in_ch=4, prop_time=24):
+    def __init__(self, in_ch=4, prop_time=24, crop_after=False):
         super().__init__()
         self.conv1 = nn.Conv2d(in_ch, 64, 7, 2, 3, bias=False)
         self.bn1 = nn.BatchNorm2d(64)
@@ -118,11 +137,11 @@ class TorchCSPNNet(nn.Module):
         self.bottleneck = nn.Sequential(
             nn.Conv2d(2048, 1024, 3, padding=1, bias=False),
             nn.BatchNorm2d(1024), nn.ReLU(inplace=True))
-        self.up1 = UpProj(1024 + 1024, 512)
-        self.up2 = UpProj(512 + 512, 256)
-        self.up3 = UpProj(256 + 256, 128)
-        self.up4 = UpProj(128 + 64, 64)
-        self.up5 = UpProj(64, 64)
+        self.up1 = UpProj(1024 + 1024, 512, crop_after)
+        self.up2 = UpProj(512 + 512, 256, crop_after)
+        self.up3 = UpProj(256 + 256, 128, crop_after)
+        self.up4 = UpProj(128 + 64, 64, crop_after)
+        self.up5 = UpProj(64, 64, crop_after)
         self.depth_head = nn.Conv2d(64, 1, 3, padding=1)
         self.guide_head = nn.Conv2d(64, 8, 3, padding=1)
         self.cspn = AffinityPropagate(prop_time)
