@@ -29,6 +29,10 @@ class ModelConfig:
     decoder_out: int = 64
     decoder_block: str = "upproj"   # upproj (Gudi_UpProj_Block_Cat) |
                                     # upconv (Simple_Gudi_UpConv_Block)
+    # Final decoder block + heads in the space-to-depth packed layout
+    # (models/unet.py PackedUpProjBlock) — numerically equivalent, much
+    # faster full-res tail on TPU; False = the straightforward layout.
+    packed_tail: bool = True
     # Path to a torchvision ResNet checkpoint (.pth) to graft into the
     # encoder at init — the reference's `pretrained=True` workflow
     # (models/torch_weights.py; 4th input channel = mean of RGB filters).
@@ -104,6 +108,30 @@ class MeshConfig:
     spatial: int = 1                # H-sharding axis size (halo exchange)
 
 
+def _coerce(value, current, key: str):
+    """Coerce a CLI string override to the type of the field's current
+    value. `type(current)(value)` is wrong for bools ("False" is truthy)
+    and tuples (tuple("1,2") iterates characters), which made some fields
+    unsweepable from the command line (SURVEY.md section 4.6 requires the
+    recipe to be trivially sweepable)."""
+    if current is None or isinstance(value, type(current)):
+        return value
+    if not isinstance(value, str):
+        return type(current)(value)
+    if isinstance(current, bool):
+        low = value.strip().lower()
+        if low in ("1", "true", "yes", "on"):
+            return True
+        if low in ("0", "false", "no", "off"):
+            return False
+        raise ValueError(f"{key}: cannot parse {value!r} as bool")
+    if isinstance(current, tuple):
+        body = value.strip().strip("()[]")
+        elem = type(current[0]) if current else int
+        return tuple(elem(v.strip()) for v in body.split(",") if v.strip())
+    return type(current)(value)
+
+
 @dataclass(frozen=True)
 class Config:
     name: str = "default"
@@ -122,8 +150,7 @@ class Config:
                 continue
             section = getattr(cfg, parts[0])
             current = getattr(section, parts[1])
-            if current is not None and not isinstance(value, type(current)):
-                value = type(current)(value)
+            value = _coerce(value, current, key)
             cfg = dataclasses.replace(
                 cfg, **{parts[0]: dataclasses.replace(section, **{parts[1]: value})})
         return cfg

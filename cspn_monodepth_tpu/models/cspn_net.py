@@ -47,6 +47,12 @@ class CSPNDepthNet(nn.Module):
     decoder_channels: tuple = (512, 256, 128, 64)
     decoder_out: int = 64
     decoder_block: str = "upproj"           # upproj | upconv
+    # Run the final decoder block + heads in the space-to-depth packed
+    # layout (models/unet.py PackedUpProjBlock docstring): the half-lane
+    # (..., 64) full-resolution feature map is never materialized; only
+    # the 9-channel head output is interleaved to full res. Numerically
+    # equivalent (tests/test_model.py), parameter tree identical.
+    packed_tail: bool = True
     # When set (a jax.sharding.Mesh with a "spatial" axis of size > 1), the
     # CSPN refinement runs through the explicit shard_map halo-exchange
     # path (parallel/halo.py) instead of relying on XLA auto-SPMD.
@@ -77,12 +83,14 @@ class CSPNDepthNet(nn.Module):
             block=block,
             width=self.encoder_width,
             dtype=self.dtype, name="encoder")(x, train=train)
-        feat = UpProjDecoder(
+        decoder = UpProjDecoder(
             channels=tuple(self.decoder_channels),
             channels_out=self.decoder_out,
             block=self.decoder_block,
-            dtype=self.dtype, name="decoder")(
-            skips, out_hw=(h, w), train=train)
+            dtype=self.dtype,
+            packed_tail=self.packed_tail, name="decoder")
+        feat = decoder(skips, out_hw=(h, w), train=train)
+        packed = decoder.tail_is_packed((h, w))
 
         # Heads (SURVEY.md R5): 1ch blur depth + 8ch guidance.
         # Zero-init: with "8sum_clamp" normalization the CSPN then starts
@@ -91,7 +99,10 @@ class CSPNDepthNet(nn.Module):
         # Both heads run as ONE f32 conv (9 out = 1 depth + 8 guidance):
         # two separate convs would read the full-resolution f32 feature
         # twice; the math is identical with the kernels concatenated.
-        cf = feat.shape[-1]
+        # With a packed decoder tail the conv runs in packed space (the
+        # parity-routed kernel, models/unet.py pack_conv_kernel) and only
+        # its 9-channel output is interleaved to full resolution.
+        cf = self.decoder_out
         kd = self.param("depth_head_kernel", nn.initializers.zeros,
                         (3, 3, cf, 1), jnp.float32)
         bd = self.param("depth_head_bias", nn.initializers.zeros,
@@ -101,9 +112,18 @@ class CSPNDepthNet(nn.Module):
         bg = self.param("guidance_head_bias", nn.initializers.zeros,
                         (8,), jnp.float32)
         kk = jnp.concatenate([kd, kg], axis=-1)
-        heads = jax.lax.conv_general_dilated(
-            feat.astype(jnp.float32), kk, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if packed:
+            from cspn_monodepth_tpu.models.unet import (
+                depth_to_space, pack_conv_kernel)
+
+            heads = jax.lax.conv_general_dilated(
+                feat.astype(jnp.float32), pack_conv_kernel(kk), (1, 1),
+                "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            heads = depth_to_space(heads)          # (B, H, W, 9)
+        else:
+            heads = jax.lax.conv_general_dilated(
+                feat.astype(jnp.float32), kk, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         heads = heads + jnp.concatenate([bd, bg])
         blur_depth = heads[..., 0:1]
         guidance = heads[..., 1:9]

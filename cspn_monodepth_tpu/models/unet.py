@@ -45,6 +45,70 @@ _C1 = ((1, 0, 0, 0, 0),
        (0, 0, 0, 1, 1))
 
 
+def space_to_depth(x: jax.Array) -> jax.Array:
+    """(B, 2H, 2W, C) -> (B, H, W, 4C), channel blocks ordered (py, px) —
+    the inverse of the depth-to-space in upconv5x5_subpixel_multi."""
+    b, h2, w2, c = x.shape
+    h, w = h2 // 2, w2 // 2
+    x = x.reshape(b, h, 2, w, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, 4 * c)
+
+
+def depth_to_space(x: jax.Array) -> jax.Array:
+    """(B, H, W, 4C) -> (B, 2H, 2W, C), channel blocks ordered (py, px)."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def _parity_routing(k_size: int):
+    """R[u0, q, p, d0] in {0,1}: full-res tap offset d (= d0 - k//2) of a
+    SAME conv maps, for output parity p and input parity q, onto packed-map
+    offset u (= u0 - 1) iff  p + d = 2u + q. (numpy constant, built once
+    at trace time)"""
+    import numpy as np
+
+    half = k_size // 2
+    r = np.zeros((3, 2, 2, k_size), np.float32)
+    for p in (0, 1):
+        for d0 in range(k_size):
+            d = d0 - half
+            e = p + d
+            u = e >> 1          # floor division (negative-safe)
+            q = e - 2 * u
+            if -1 <= u <= 1:
+                r[u + 1, q, p, d0] = 1.0
+    return r
+
+
+def pack_conv_kernel(k: jax.Array) -> jax.Array:
+    """Transform a full-resolution SAME-conv kernel (kh, kw, Cin, Cout),
+    kh/kw odd and <= 5, into the equivalent (3, 3, 4*Cin, 4*Cout) kernel
+    applied to the space-to-depth packed map (2x2, (py, px)-ordered
+    channel blocks): conv_packed(s2d(x), pack_conv_kernel(k)) ==
+    s2d(conv(x, k)) including the zero-padding border semantics.
+
+    This is the inverse-direction counterpart of the sub-pixel up-conv
+    collapse above: it lets the full-resolution decoder tail (conv1b, the
+    prediction heads) run WITHOUT ever materializing the half-lane
+    (..., 64) full-res map — the packed (..., 256) layout keeps the lane
+    dimension full. The MXU does 4x the MACs (dense over parity pairs of
+    which ~1/4 are structurally nonzero), a good trade at these shapes
+    where the ops are layout/bandwidth-bound, not FLOP-bound
+    (tools/bench_up5.py: conv1b at Cout=64 and 128 run in the same time).
+    """
+    kh, kw, cin, cout = k.shape
+    assert kh % 2 == 1 and kw % 2 == 1 and kh <= 5 and kw <= 5, (kh, kw)
+    ry = jnp.asarray(_parity_routing(kh), k.dtype)
+    rx = jnp.asarray(_parity_routing(kw), k.dtype)
+    # out[u, v, (q, r, i), (p, s, o)]
+    kp = jnp.einsum("uqpd,vrse,deio->uvqripso", ry, rx, k)
+    return kp.reshape(3, 3, 4 * cin, 4 * cout)
+
+
 def _upsample2x(x: jax.Array) -> jax.Array:
     """Nearest-neighbor 2x unpool in NHWC (reshape-broadcast). Used by the
     naive reference path and for the skip-free residual elsewhere."""
@@ -73,6 +137,20 @@ def upconv5x5_subpixel(x: jax.Array, kernel: jax.Array,
     return upconv5x5_subpixel_multi(x, [kernel], dtype)[0]
 
 
+def _collapsed_wide_kernel(kernels) -> jax.Array:
+    """Stack the 4 parity-collapsed 3x3 kernels of each 5x5 up-conv kernel
+    along Cout: (3, 3, Cin, n*4*Cout), channel blocks ordered
+    (kernel, py, px)."""
+    ks = []
+    for kernel in kernels:
+        for cy in (_C0, _C1):
+            for cx in (_C0, _C1):
+                ky = jnp.asarray(cy, kernel.dtype)
+                kx = jnp.asarray(cx, kernel.dtype)
+                ks.append(jnp.einsum("ua,vb,abio->uvio", ky, kx, kernel))
+    return jnp.concatenate(ks, axis=-1)
+
+
 def upconv5x5_subpixel_multi(x: jax.Array, kernels, dtype=jnp.bfloat16):
     """Apply upconv5x5_subpixel for several kernels sharing the same input
     in ONE conv (n * 4 * Cout output channels) — small-N convs on TPU are
@@ -80,15 +158,8 @@ def upconv5x5_subpixel_multi(x: jax.Array, kernels, dtype=jnp.bfloat16):
     ~2x (tools/bench_upconv.py). Returns a list of (B, 2H, 2W, Cout)."""
     b, h, w, cin = x.shape
     cout = kernels[0].shape[-1]
-    ks = []
-    for kernel in kernels:
-        assert kernel.shape[-1] == cout
-        for cy in (_C0, _C1):
-            for cx in (_C0, _C1):
-                ky = jnp.asarray(cy, kernel.dtype)
-                kx = jnp.asarray(cx, kernel.dtype)
-                ks.append(jnp.einsum("ua,vb,abio->uvio", ky, kx, kernel))
-    kk = jnp.concatenate(ks, axis=-1)           # (3, 3, Cin, n*4*Cout)
+    assert all(k.shape[-1] == cout for k in kernels)
+    kk = _collapsed_wide_kernel(kernels)        # (3, 3, Cin, n*4*Cout)
     y = lax.conv_general_dilated(
         x.astype(dtype), kk.astype(dtype), (1, 1),
         padding=((1, 1), (1, 1)),
@@ -157,6 +228,139 @@ class UpProjBlock(nn.Module):
         return nn.relu(a + c)
 
 
+class PackedBatchNorm(nn.Module):
+    """nn.BatchNorm evaluated on a space-to-depth packed map (B, H, W, 4C):
+    statistics per REAL channel, pooled across the 4 parity blocks —
+    numerically identical (up to f32 reduction order) to nn.BatchNorm on
+    the depth-to-space'd full-resolution map, because the parity blocks
+    ARE that map's pixels. Every elementwise pass runs in the full-lane
+    4C layout instead of the half-lane C=64 one (tools/bench_bw.py:
+    copy128 vs copy64). Parameter/batch_stats names and shapes match
+    nn.BatchNorm(features=C), so checkpoints and the torch export are
+    unchanged."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        c = x.shape[-1] // 4
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), (c,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), (c,))
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if train:
+            xf = x.astype(jnp.float32).reshape(*x.shape[:-1], 4, c)
+            mean = jnp.mean(xf, axis=(0, 1, 2, 3))
+            mean2 = jnp.mean(xf * xf, axis=(0, 1, 2, 3))
+            var = jnp.maximum(0.0, mean2 - mean * mean)  # flax fast-variance
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        mul = lax.rsqrt(var + self.epsilon) * scale
+        # packed channel order is (parity block, channel) with the channel
+        # minor -> per-packed-channel vectors are 4x tiles
+        y = ((x.astype(jnp.float32) - jnp.tile(mean, 4)) * jnp.tile(mul, 4)
+             + jnp.tile(bias, 4))
+        return y.astype(self.dtype)
+
+
+class PackedUpProjBlock(nn.Module):
+    """The final (no-skip) UpProjBlock computed ENTIRELY in the
+    space-to-depth packed layout — the TPU fix for the full-resolution
+    decoder tail (round-2 probes: every full-res op on the (..., 64) map
+    is layout/bandwidth-bound at ~140-220 GB/s because 64 channels fill
+    half the 128-lane registers, while the same bytes at (..., 256) move
+    at full-lane rate).
+
+    The (B, 2H, 2W, 64) full-res feature map is never materialized:
+      * the two branch up-convs stay as the ONE wide 3x3 conv of the
+        sub-pixel decomposition, minus its depth-to-space;
+      * BatchNorms pool statistics across parity blocks (PackedBatchNorm,
+        numerically identical);
+      * conv1b (3x3, 64->64 at full res) becomes a 3x3 conv over the
+        packed map with the parity-routed (3, 3, 256, 256) kernel
+        (pack_conv_kernel) — 4x the MACs on the MXU, which measures the
+        same wall time (the op was lane-bound, not FLOP-bound), with
+        full-lane layouts everywhere around it.
+
+    Returns the PACKED feature map (B, H, W, 4*channels); callers either
+    depth-to-space it (intermediate blocks) or apply the heads in packed
+    space too and interleave only the 9-channel head output
+    (models/cspn_net.py). The optional skip (a FULL-RES (B, 2H, 2W, Cs)
+    map) is consumed through space_to_depth with parity-routed 5x5 skip
+    kernels. Parameter names/shapes are identical to UpProjBlock's, so
+    the two paths share checkpoints and the torch export. Equivalence:
+    tests/test_model.py.
+    """
+
+    channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, skip: jax.Array | None = None,
+                 train: bool = False) -> jax.Array:
+        cin = x.shape[-1]
+        ch = self.channels
+        k1a = self.param("conv1a_up", nn.initializers.lecun_normal(),
+                         (5, 5, cin, ch), jnp.float32)
+        k2 = self.param("conv2_up", nn.initializers.lecun_normal(),
+                        (5, 5, cin, ch), jnp.float32)
+        kk = _collapsed_wide_kernel([k1a, k2])   # (3, 3, cin, 8*ch)
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype), kk.astype(self.dtype), (1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        a, c = y[..., :4 * ch], y[..., 4 * ch:]  # packed branch maps
+
+        if skip is not None:
+            cs = skip.shape[-1]
+            ks1 = self.param("conv1a_skip", nn.initializers.lecun_normal(),
+                             (5, 5, cs, ch), jnp.float32)
+            ks2 = self.param("conv2_skip", nn.initializers.lecun_normal(),
+                             (5, 5, cs, ch), jnp.float32)
+            # Per-branch packed kernels concatenated along Cout so the
+            # output channel blocks stay branch-major like (a, c).
+            kp = jnp.concatenate(
+                [pack_conv_kernel(ks1), pack_conv_kernel(ks2)], axis=-1)
+            sk = lax.conv_general_dilated(
+                space_to_depth(skip).astype(self.dtype),
+                kp.astype(self.dtype), (1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            a = a + sk[..., :4 * ch]
+            c = c + sk[..., 4 * ch:]
+
+        a = nn.relu(PackedBatchNorm(dtype=self.dtype, name="bn1a")(a, train))
+        k1b = _KernelParam((3, 3, ch, ch), name="conv1b")()
+        a = lax.conv_general_dilated(
+            a, pack_conv_kernel(k1b).astype(self.dtype), (1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        a = PackedBatchNorm(dtype=self.dtype, name="bn1b")(a, train)
+        c = PackedBatchNorm(dtype=self.dtype, name="bn2")(c, train)
+        return nn.relu(a + c)
+
+
+class _KernelParam(nn.Module):
+    """A bare conv-kernel parameter registered under `<name>/kernel` — the
+    same variable path nn.Conv(name=<name>) uses, so the packed and
+    unpacked block variants share parameter trees."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
 class UpConvBlock(nn.Module):
     """Single-branch up-convolution (the reference's
     `Simple_Gudi_UpConv_Block`): unpool 2x -> 5x5 conv -> BN -> ReLU, with
@@ -199,6 +403,25 @@ class UpProjDecoder(nn.Module):
     channels_out: int = 64
     block: str = "upproj"
     dtype: jnp.dtype = jnp.bfloat16
+    # When True and the final block's geometry allows it (out_hw exactly
+    # 2x the /2 map, "upproj" family), the final block runs in the
+    # space-to-depth packed layout (PackedUpProjBlock) and the decoder
+    # RETURNS THE PACKED MAP (B, H/2, W/2, 4*channels_out) — the caller
+    # must apply its heads packed (models/cspn_net.py). The parameter
+    # tree is identical either way.
+    packed_tail: bool = False
+
+    def tail_is_packed(self, out_hw: tuple[int, int]) -> bool:
+        return (self.packed_tail and self.block == "upproj"
+                and out_hw[0] % 2 == 0 and out_hw[1] % 2 == 0)
+
+    def _pack_block(self, ch: int, in_hw, out_hw) -> bool:
+        """Pack an intermediate block iff its geometry is an exact 2x (no
+        odd-size crop) and its width is below the 128-lane boundary —
+        above it the layout is already full-lane and the packed conv's 4x
+        MACs would only cost (the deep blocks run at 74-85% MXU as-is)."""
+        return (self.packed_tail and self.block == "upproj" and ch < 128
+                and tuple(out_hw) == (2 * in_hw[0], 2 * in_hw[1]))
 
     @nn.compact
     def __call__(self, skips, out_hw: tuple[int, int], train: bool = False):
@@ -215,10 +438,24 @@ class UpProjDecoder(nn.Module):
 
         for i, (ch, skip) in enumerate(
                 zip(self.channels, (c3, c2, c1, stem))):
-            x = block_cls(ch, dtype=self.dtype, name=f"upproj{i + 1}")(
-                x, skip=skip, out_hw=skip.shape[1:3], train=train)
+            target = skip.shape[1:3]
+            if self._pack_block(ch, x.shape[1:3], target):
+                # Sub-128-channel blocks whose geometry is an exact 2x run
+                # packed (half-lane layout fix); depth-to-space once for
+                # the next block's input.
+                xp = PackedUpProjBlock(
+                    ch, dtype=self.dtype, name=f"upproj{i + 1}")(
+                    x, skip=skip, train=train)
+                x = depth_to_space(xp)
+            else:
+                x = block_cls(ch, dtype=self.dtype, name=f"upproj{i + 1}")(
+                    x, skip=skip, out_hw=target, train=train)
 
         # Final up-projection /2 -> full resolution, no skip.
+        if self.tail_is_packed(out_hw):
+            return PackedUpProjBlock(
+                self.channels_out, dtype=self.dtype, name="upproj5")(
+                x, train=train)
         x = block_cls(self.channels_out, dtype=self.dtype, name="upproj5")(
             x, out_hw=out_hw, train=train)
         return x

@@ -75,7 +75,8 @@ class DepthPredictor:
             encoder_width=cfg.model.encoder_width,
             decoder_channels=tuple(cfg.model.decoder_channels),
             decoder_out=cfg.model.decoder_out,
-            decoder_block=cfg.model.decoder_block)
+            decoder_block=cfg.model.decoder_block,
+            packed_tail=cfg.model.packed_tail)
         return cls(model, variables["params"], variables["batch_stats"],
                    cfg.data.height, cfg.data.width)
 

@@ -71,6 +71,7 @@ class Trainer:
             decoder_channels=tuple(cfg.model.decoder_channels),
             decoder_out=cfg.model.decoder_out,
             decoder_block=cfg.model.decoder_block,
+            packed_tail=cfg.model.packed_tail,
             spatial_mesh=self.mesh if cfg.mesh.spatial > 1 else None,
         )
         self.train_ds = make_dataset(cfg.data, "train", seed=cfg.train.seed)
@@ -363,21 +364,23 @@ class Trainer:
         # Eval sparse input must be deterministic: fixed seed, not step-dep.
         rng = self._epoch_rng(9999)
         sums = MetricSums.zeros(cfg.train.metrics_protocol)
-        n_img = 0
         t0 = time.time()
         batches = device_prefetch(
             it, {"valid_image": self._bsh1d, "*": self._bsh})
         for i, batch in enumerate(batches):
             s, pred = self.eval_step(state, batch, rng, self._replicate(i))
+            # Accumulate on device only — a per-batch device_get here would
+            # serialize host<->device every step (the image count is already
+            # in sums.n_images; one readback happens in finalize_metrics).
             sums = sums + s
-            n_img += int(np.asarray(jax.device_get(batch["valid_image"])).sum())
             if i == 0 and save_panels and jax.process_index() == 0:
                 self._save_panel(
                     {k: np.asarray(jax.device_get(v))
                      for k, v in batch.items()}, pred, epoch)
         it.close()
         metrics = finalize_metrics(sums)
-        metrics["images_per_sec"] = n_img / max(time.time() - t0, 1e-9)
+        metrics["images_per_sec"] = (
+            metrics["n_images"] / max(time.time() - t0, 1e-9))
         log("eval " + " ".join(f"{k} {v:.4f}" for k, v in metrics.items()
                                if isinstance(v, float)))
         return metrics

@@ -168,3 +168,124 @@ def test_model_decoder_upconv():
         return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
 
     assert count(mk("upconv")) < count(mk("upproj"))
+
+
+def test_pack_conv_kernel_equivalence():
+    """conv over the space-to-depth packed map with the parity-routed
+    kernel == space-to-depth of the full-res SAME conv, borders included
+    (3x3 and 5x5 kernels)."""
+    from jax import lax
+
+    from cspn_monodepth_tpu.models.unet import (
+        pack_conv_kernel,
+        space_to_depth,
+    )
+
+    rng = np.random.default_rng(1)
+    for h, w, cin, cout, ks in [(6, 8, 3, 5, 3), (10, 12, 2, 4, 5),
+                                (8, 6, 1, 1, 3)]:
+        x = jnp.asarray(rng.normal(size=(2, h, w, cin)).astype(np.float32))
+        k = jnp.asarray(
+            rng.normal(size=(ks, ks, cin, cout)).astype(np.float32))
+        p = ks // 2
+        want = space_to_depth(lax.conv_general_dilated(
+            x, k, (1, 1), padding=((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")))
+        got = lax.conv_general_dilated(
+            space_to_depth(x), pack_conv_kernel(k), (1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_packed_batch_norm_equivalence():
+    """PackedBatchNorm on the packed map == nn.BatchNorm on the full-res
+    map (train + eval), including the running-stat updates."""
+    import flax.linen as nn
+
+    from cspn_monodepth_tpu.models.unet import (
+        PackedBatchNorm,
+        depth_to_space,
+        space_to_depth,
+    )
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 8, 12, 6)).astype(np.float32) * 3 + 1)
+    xp = space_to_depth(x)
+
+    ref = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=jnp.float32)
+    packed = PackedBatchNorm(momentum=0.9, epsilon=1e-5, dtype=jnp.float32)
+
+    vr = ref.init(jax.random.key(0), x, use_running_average=False)
+    vp = packed.init(jax.random.key(0), xp, train=True)
+    assert jax.tree.structure(vr) == jax.tree.structure(vp)
+    # nontrivial scale/bias
+    vr = {"params": {"scale": jnp.asarray([1.5, 0.5, 2.0, 1.0, 0.7, 1.2]),
+                     "bias": jnp.asarray([0.1, -0.2, 0.3, 0.0, 0.5, -0.1])},
+          "batch_stats": vr["batch_stats"]}
+
+    want, mut_r = ref.apply(vr, x, use_running_average=False,
+                            mutable=["batch_stats"])
+    got, mut_p = packed.apply(vr, xp, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(depth_to_space(got)),
+                               np.asarray(want), rtol=1e-5, atol=1e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(mut_p["batch_stats"][k]),
+            np.asarray(mut_r["batch_stats"][k]), rtol=1e-5, atol=1e-6)
+
+    # eval mode with the updated running stats
+    vr2 = {"params": vr["params"], "batch_stats": mut_r["batch_stats"]}
+    want_e = ref.apply(vr2, x, use_running_average=True)
+    got_e = packed.apply(vr2, xp, train=False)
+    np.testing.assert_allclose(np.asarray(depth_to_space(got_e)),
+                               np.asarray(want_e), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_model_packed_tail_equivalence(train):
+    """packed_tail=True == packed_tail=False on the full model: identical
+    parameter trees, matching outputs and batch-stat updates (f32)."""
+    mk = lambda p: CSPNDepthNet(  # noqa: E731
+        modality="rgbd", num_iters=2, cspn_impl="jnp", dtype=jnp.float32,
+        packed_tail=p, **TINY)
+    x = jax.random.uniform(jax.random.key(0), (2, 32, 48, 4))
+    m0, m1 = mk(False), mk(True)
+    v0 = m0.init(jax.random.key(1), x, train=False)
+    v1 = m1.init(jax.random.key(1), x, train=False)
+    assert jax.tree.structure(v0) == jax.tree.structure(v1)
+    for a, b in zip(jax.tree.leaves(v0), jax.tree.leaves(v1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # Make heads nonzero so CSPN is exercised beyond identity.
+    v = jax.tree.map(np.asarray, v0)
+    rng = np.random.default_rng(3)
+    for name in ("depth_head_kernel", "guidance_head_kernel"):
+        v["params"][name] = (
+            0.1 * rng.standard_normal(v["params"][name].shape)
+        ).astype(np.float32)
+
+    if train:
+        out0, mut0 = m0.apply(v, x, train=True, mutable=["batch_stats"])
+        out1, mut1 = m1.apply(v, x, train=True, mutable=["batch_stats"])
+        for a, b in zip(jax.tree.leaves(mut0), jax.tree.leaves(mut1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-5)
+    else:
+        out0 = m0.apply(v, x, train=False)
+        out1 = m1.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_model_packed_tail_odd_size_falls_back():
+    """Odd spatial sizes can't pack 2x2; the model must still run (the
+    decoder falls back to the unpacked final block)."""
+    model = CSPNDepthNet(modality="rgb", num_iters=1, cspn_impl="jnp",
+                         dtype=jnp.float32, packed_tail=True, **TINY)
+    x = jax.random.uniform(jax.random.key(0), (1, 31, 49, 3))
+    variables = model.init(jax.random.key(1), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 31, 49, 1)
+    assert bool(jnp.all(jnp.isfinite(out)))
