@@ -172,295 +172,6 @@ _cspn_kernel = _squeeze_kernel(_cspn_kernel)
 # --------------------------------------------------------------------------
 
 
-def _cspn_kernel_stash(guid_ref, blur_ref, sparse_ref, out_ref, stash_ref,
-                       dpad_ref, dcur_ref, sem, *,
-                       num_iters: int, norm_type: str, has_sparse: bool):
-    """Forward + stash: like _cspn_kernel, but writes d^t (the depth plane
-    each iteration STARTS from) to stash_ref[b, t] in HBM.
-
-    guid (1, 8, H, W) / blur / sparse / out (1, H, W) VMEM blocks;
-    stash_ref (B, T, H, W) in ANY/HBM. dcur is the DMA staging plane.
-    """
-    b = pl.program_id(0)
-    h, w = blur_ref.shape[1:]
-
-    gates, gate_center = _normalize_gates(guid_ref[0], norm_type)
-
-    d0 = blur_ref[0]
-    sp = m = None
-    if has_sparse:
-        sp = sparse_ref[0]
-        m = (sp > 0).astype(d0.dtype)
-        d0 = (1.0 - m) * d0 + m * sp
-
-    dpad_ref[...] = jnp.zeros((h + 2, w + 2), d0.dtype)
-    dpad_ref[1:h + 1, 1:w + 1] = d0
-
-    def body(t, carry):
-        dcur_ref[...] = dpad_ref[1:h + 1, 1:w + 1]      # d^t
-        cp = pltpu.make_async_copy(dcur_ref, stash_ref.at[b, t], sem)
-        cp.start()
-        dl = dpad_ref[:, 0:w]
-        dc = dpad_ref[:, 1:w + 1]
-        dr = dpad_ref[:, 2:w + 2]
-        new = gate_center * dc[1:h + 1]
-        new += gates[0] * dl[0:h] + gates[3] * dl[1:h + 1] + gates[5] * dl[2:h + 2]
-        new += gates[1] * dc[0:h] + gates[6] * dc[2:h + 2]
-        new += gates[2] * dr[0:h] + gates[4] * dr[1:h + 1] + gates[7] * dr[2:h + 2]
-        if has_sparse:
-            new = (1.0 - m) * new + m * sp
-        cp.wait()                    # dcur must land before next overwrite
-        dpad_ref[1:h + 1, 1:w + 1] = new
-        return carry
-
-    lax.fori_loop(0, num_iters, body, 0, unroll=False)
-    out_ref[0] = dpad_ref[1:h + 1, 1:w + 1]
-
-
-def _cspn_bwd_kernel(guid_hbm, sparse_ref, lam_ref, stash_ref,
-                     dguid_hbm, dblur_ref, dsparse_ref,
-                     guid_vmem, dg_vmem, acc_pad, dpad2, dcur_ref,
-                     g0acc_ref, sem_g, sem_d, sem_o, *,
-                     num_iters: int, norm_type: str, has_sparse: bool,
-                     eps: float = 1e-8):
-    """Adjoint of the propagation for one batch element.
-
-    The 8-plane guidance input and gradient output go through HBM with
-    manual single-buffered DMA (automatic block pipelining would
-    double-buffer them — 32 extra planes of VMEM). Gate planes are
-    recomputed per use from guid_vmem instead of materialized, keeping
-    peak VMEM at ~30 planes. Streams d^t from stash_ref in reverse;
-    accumulates dL/dgate_k in dg_vmem (converted to raw-affinity grads at
-    the end) and dL/dgate_center in g0acc_ref. lam_ref holds dL/d(output).
-    """
-    h, w = lam_ref.shape[1:]
-    b = pl.program_id(0)
-
-    cp_g = pltpu.make_async_copy(guid_hbm.at[b], guid_vmem, sem_g)
-    cp_g.start()
-
-    sp = m = None
-    if has_sparse:
-        sp = sparse_ref[0]
-        m = (sp > 0).astype(jnp.float32)
-
-    cp_g.wait()
-
-    def raw(k):
-        return guid_vmem[k]
-
-    def mag(k):                             # the normalized numerator
-        return jnp.abs(guid_vmem[k]) if norm_type == "8sum_abs" \
-            else guid_vmem[k]
-
-    s = jnp.abs(raw(0))
-    for k in range(1, 8):
-        s += jnp.abs(raw(k))
-    floor = 1.0 if norm_type == "8sum_clamp" else eps
-    inv_d = 1.0 / jnp.maximum(s, floor)
-    gsum = mag(0)
-    for k in range(1, 8):
-        gsum = gsum + mag(k)
-    gate_center = 1.0 - gsum * inv_d
-
-    dg_vmem[...] = jnp.zeros((8, h, w), jnp.float32)
-    g0acc_ref[...] = jnp.zeros((h, w), jnp.float32)
-    dsparse_ref[...] = jnp.zeros((1, h, w), jnp.float32)
-
-    def body(i, lam):
-        t = num_iters - 1 - i
-        cp = pltpu.make_async_copy(stash_ref.at[b, t], dcur_ref, sem_d)
-        cp.start()
-        if has_sparse:
-            lam_u = (1.0 - m) * lam
-            dsparse_ref[0] += m * lam
-        else:
-            lam_u = lam
-        cp.wait()
-        d = dcur_ref[...]                   # d^t
-
-        # Gate gradients: G_k += lam_u * shift_k(d), G_0 += lam_u * d.
-        g0acc_ref[...] += lam_u * d
-        dpad2[...] = jnp.zeros((h + 2, w + 2), jnp.float32)
-        dpad2[1:h + 1, 1:w + 1] = d
-        dl = dpad2[:, 0:w]
-        dc = dpad2[:, 1:w + 1]
-        dr = dpad2[:, 2:w + 2]
-        dg_vmem[0] += lam_u * dl[0:h]
-        dg_vmem[3] += lam_u * dl[1:h + 1]
-        dg_vmem[5] += lam_u * dl[2:h + 2]
-        dg_vmem[1] += lam_u * dc[0:h]
-        dg_vmem[6] += lam_u * dc[2:h + 2]
-        dg_vmem[2] += lam_u * dr[0:h]
-        dg_vmem[4] += lam_u * dr[1:h + 1]
-        dg_vmem[7] += lam_u * dr[2:h + 2]
-
-        # Adjoint stencil: lam'(j) = g0(j)*lam_u(j)
-        #                          + sum_k [gate_k*lam_u](j - off_k),
-        # i.e. each product plane scattered by +off_k in the padded buffer
-        # (writing q at rows 1+dy makes interior read j pick q[j - dy]).
-        acc_pad[...] = jnp.zeros((h + 2, w + 2), jnp.float32)
-        for k, (dy, dx) in enumerate(NEIGHBOR_OFFSETS):
-            q = (mag(k) * inv_d) * lam_u
-            acc_pad[1 + dy:1 + dy + h, 1 + dx:1 + dx + w] += q
-        return gate_center * lam_u + acc_pad[1:h + 1, 1:w + 1]
-
-    lam0 = lax.fori_loop(0, num_iters, body, lam_ref[0], unroll=False)
-
-    if has_sparse:
-        dblur_ref[0] = (1.0 - m) * lam0
-        dsparse_ref[0] += m * lam0
-    else:
-        dblur_ref[0] = lam0
-
-    # Normalization chain rule: G_hat_k = G_k - G_0;
-    # c1 = sum_k G_hat_k * gate_k; grads w.r.t. raw affinities:
-    #   signed:  (G_hat_l - [s > floor] * sign(g_l) * c1) / max(s, floor)
-    #   abs:     sign(g_l) * (G_hat_l - [s > floor] * c1) / max(s, floor)
-    g0 = g0acc_ref[...]
-    c1 = (dg_vmem[0] - g0) * (mag(0) * inv_d)
-    for k in range(1, 8):
-        c1 += (dg_vmem[k] - g0) * (mag(k) * inv_d)
-    active = (s > floor).astype(jnp.float32)
-    for k in range(8):
-        ghat = dg_vmem[k] - g0
-        if norm_type == "8sum_abs":
-            dg_vmem[k] = jnp.sign(raw(k)) * (ghat - active * c1) * inv_d
-        else:
-            dg_vmem[k] = (ghat - jnp.sign(raw(k)) * (active * c1)) * inv_d
-
-    cp_o = pltpu.make_async_copy(dg_vmem, dguid_hbm.at[b], sem_o)
-    cp_o.start()
-    cp_o.wait()
-
-
-def _pad_hw(x, hp, wp):
-    """Zero-pad the last two dims (H, W) to (hp, wp) — Mosaic DMA slices
-    must be sublane (8) and lane (128) aligned; zero gates keep the pad
-    region inert."""
-    if x.shape[-1] == wp and x.shape[-2] == hp:
-        return x
-    pad = [(0, 0)] * x.ndim
-    pad[-2] = (0, hp - x.shape[-2])
-    pad[-1] = (0, wp - x.shape[-1])
-    return jnp.pad(x, pad)
-
-
-def _cspn_pallas_stash_fwd(guidance, blur, sparse, num_iters, norm_type,
-                           has_sparse, interpret):
-    """Run the stash forward; returns (out (B,H,W), stash (B,T,Hp,Wp))."""
-    b, h, w, _ = guidance.shape
-    hp = -(-h // 8) * 8
-    wp = -(-w // 128) * 128
-    guid_t = _pad_hw(jnp.moveaxis(guidance, -1, 1), hp, wp).astype(jnp.float32)
-    blur_p = _pad_hw(blur, hp, wp).astype(jnp.float32)
-    sp_p = _pad_hw(sparse, hp, wp).astype(jnp.float32)
-
-    kernel = functools.partial(
-        _cspn_kernel_stash, num_iters=num_iters, norm_type=norm_type,
-        has_sparse=has_sparse)
-    out, stash = pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, 8, hp, wp), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((b, num_iters, hp, wp), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((hp + 2, wp + 2), jnp.float32),
-            pltpu.VMEM((hp, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=b * hp * wp * num_iters * 19,
-            bytes_accessed=4 * b * hp * wp * (11 + num_iters),
-            transcendentals=0),
-        interpret=interpret,
-    )(guid_t, blur_p, sp_p)
-    return out[:, :h, :w], stash
-
-
-def _cspn_pallas_bwd_impl(guidance, sparse, stash, g_out, num_iters,
-                          norm_type, has_sparse, interpret):
-    b, h, w, _ = guidance.shape
-    hp, wp = stash.shape[-2:]
-    guid_t = _pad_hw(jnp.moveaxis(guidance, -1, 1), hp, wp).astype(jnp.float32)
-    sp_p = _pad_hw(sparse, hp, wp).astype(jnp.float32)
-    lam_p = _pad_hw(g_out, hp, wp).astype(jnp.float32)
-
-    kernel = functools.partial(
-        _cspn_bwd_kernel, num_iters=num_iters, norm_type=norm_type,
-        has_sparse=has_sparse)
-    dguid, dblur, dsparse = pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # guid (manual DMA)
-            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),       # stash
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # dguid (manual DMA)
-            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, 8, hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((b, hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((b, hp, wp), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((8, hp, wp), jnp.float32),        # guid staging
-            pltpu.VMEM((8, hp, wp), jnp.float32),        # grad accumulator
-            pltpu.VMEM((hp + 2, wp + 2), jnp.float32),   # acc_pad
-            pltpu.VMEM((hp + 2, wp + 2), jnp.float32),   # dpad2
-            pltpu.VMEM((hp, wp), jnp.float32),          # dcur
-            pltpu.VMEM((hp, wp), jnp.float32),          # g0 accumulator
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=b * hp * wp * num_iters * 40,
-            bytes_accessed=4 * b * hp * wp * (20 + num_iters),
-            transcendentals=0),
-        interpret=interpret,
-    )(guid_t, sp_p, lam_p, stash)
-    dguid = jnp.moveaxis(dguid[:, :, :h, :w], 1, -1)
-    return dguid, dblur[:, :h, :w], dsparse[:, :h, :w]
-
-
-# VMEM budget for the backward kernel: ~28 explicit scratch/block planes
-# (guidance staging 8 + grad accumulator 8 + 4 double-buffered small
-# blocks + pads + streaming planes) plus Mosaic stack temporaries, at the
-# 128-lane-padded width. 36 x 13 MiB admits the NYU 228x304 headline
-# shape (12.6 MiB) inside the 16 MiB scoped limit.
-_BWD_VMEM_PLANE_BUDGET_BYTES = 13 * 1024 * 1024
-
-
-def _bwd_fits_vmem(h: int, w: int) -> bool:
-    wp = -(-w // 128) * 128
-    return 36 * 4 * h * wp <= _BWD_VMEM_PLANE_BUDGET_BYTES
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _cspn_pallas(guidance, blur, sparse, num_iters, norm_type, has_sparse,
                  interpret):
@@ -468,44 +179,19 @@ def _cspn_pallas(guidance, blur, sparse, num_iters, norm_type, has_sparse,
         guidance, blur, sparse, num_iters, norm_type, has_sparse, interpret)
 
 
-def use_pallas_adjoint() -> bool:
-    """Whether the custom VJP uses the hand-written Pallas adjoint.
-
-    Default OFF, honestly: the adjoint is parity-tested to 1e-6 and its
-    HBM traffic is near-minimal, but at the headline shape (batch 32,
-    228x304, T=24, v5e) it measured 7.6 ms vs 6.0 ms for XLA's autodiff
-    of the lax.scan reference — the adjoint's extra VPU work (gradient
-    accumulation + the 9-window scatter) outweighs the traffic saved,
-    and CSPN backward is <4% of the train step either way. The kernel
-    stays available (CSPN_PALLAS_ADJOINT=1) for shapes where scan
-    autodiff loses, and as the basis for future tuning.
-    """
-    import os
-
-    return os.environ.get("CSPN_PALLAS_ADJOINT", "0") == "1"
-
-
 def _fwd(guidance, blur, sparse, num_iters, norm_type, has_sparse, interpret):
-    h, w = guidance.shape[1:3]
-    if _bwd_fits_vmem(h, w) and use_pallas_adjoint():
-        out, stash = _cspn_pallas_stash_fwd(
-            guidance, blur, sparse, num_iters, norm_type, has_sparse,
-            interpret)
-        return out, (guidance, blur, sparse, stash)
     out = _cspn_pallas(guidance, blur, sparse, num_iters, norm_type,
                        has_sparse, interpret)
-    return out, (guidance, blur, sparse, None)
+    return out, (guidance, blur, sparse)
 
 
 def _bwd(num_iters, norm_type, has_sparse, interpret, residuals, g_out):
-    guidance, blur, sparse, stash = residuals
-    if stash is not None:
-        d_guid, d_blur, d_sparse = _cspn_pallas_bwd_impl(
-            guidance, sparse, stash, g_out, num_iters, norm_type,
-            has_sparse, interpret)
-        if not has_sparse:
-            d_sparse = jnp.zeros_like(sparse)
-        return d_guid, d_blur, d_sparse
+    # The VJP rule is the VJP of the jnp lax.scan reference with the
+    # forward rematerialized: XLA's scan autodiff measured 6.3 ms vs
+    # 8.0 ms for the best hand-written Pallas adjoint at batch 32 x
+    # 228x304 x T=24 on v5e (see docs/ARCHITECTURE.md "kernel design" for
+    # the deletion record), and CSPN backward is <4% of the train step.
+    guidance, blur, sparse = residuals
 
     def ref(gd, bl, sp):
         return cspn_propagate_ref(
@@ -715,9 +401,8 @@ def _tiled_fwd(guidance, blur, sparse, num_iters, norm_type, has_sparse,
 
 def _tiled_bwd(num_iters, norm_type, has_sparse, interpret, halo_k, tile_h,
                residuals, g_out):
-    guidance, blur, sparse = residuals
     return _bwd(num_iters, norm_type, has_sparse, interpret,
-                (guidance, blur, sparse, None), g_out)
+                residuals, g_out)
 
 
 _cspn_pallas_tiled.defvjp(_tiled_fwd, _tiled_bwd)

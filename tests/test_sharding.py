@@ -152,3 +152,49 @@ def test_shard_batch_utility():
     out = shard_batch(batch, mesh)
     assert out["rgb"].sharding.spec == P("data")
     np.testing.assert_array_equal(np.asarray(out["depth"]), batch["depth"])
+
+
+def _count_ppermutes(fn, *args):
+    """Count ppermute primitives in the jaxpr of fn(*args), recursing into
+    sub-jaxprs (shard_map bodies, scan bodies, custom-derivative calls)."""
+    def walk(jaxpr):
+        n = 0
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "ppermute":
+                n += 1
+            for v in eqn.params.values():
+                for sub in (v if isinstance(v, (list, tuple)) else [v]):
+                    if hasattr(sub, "jaxpr"):       # ClosedJaxpr
+                        n += walk(sub.jaxpr)
+                    elif hasattr(sub, "eqns"):      # Jaxpr
+                        n += walk(sub)
+        return n
+    return walk(jax.make_jaxpr(fn)(*args).jaxpr)
+
+
+@pytest.mark.parametrize("halo_k,num_iters", [(1, 12), (4, 12), (4, 10), (6, 24)])
+def test_halo_exchange_count_matches_amortization_math(halo_k, num_iters):
+    """Keep the N2 cost model honest (parallel/halo.py:9-16): a k-amortized
+    run must exchange depth halos exactly ceil(T/k) times, plus ONE upfront
+    exchange each for gates, sparse and mask (iteration-invariant). Each
+    _exchange_halo is 2 ppermutes (up + down), so:
+        sparse path:  2 * (3 + ceil(T/k)) ppermutes
+        dense  path:  2 * (1 + ceil(T/k)) ppermutes
+    A per-iteration scheme would pay 2*T — the whole point of k-amortization
+    is the ceil(T/k) factor, so a regression here is a real perf bug even
+    though single-host tests can't time ICI."""
+    mesh = make_mesh(MeshConfig(data=2, spatial=4))
+    guidance, blur, sparse = _problem(jax.random.key(2), b=2, h=32, w=16)
+    rounds = -(-num_iters // halo_k)  # ceil
+
+    n_sparse = _count_ppermutes(
+        lambda g, d, s: cspn_propagate_spatial(
+            g, d, s, mesh=mesh, num_iters=num_iters, halo_k=halo_k),
+        guidance, blur, sparse)
+    assert n_sparse == 2 * (3 + rounds), (n_sparse, rounds)
+
+    n_dense = _count_ppermutes(
+        lambda g, d: cspn_propagate_spatial(
+            g, d, None, mesh=mesh, num_iters=num_iters, halo_k=halo_k),
+        guidance, blur)
+    assert n_dense == 2 * (1 + rounds), (n_dense, rounds)

@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--train", action="store_true")
+    ap.add_argument("--packed", action="store_true",
+                    help="time PackedUpProjBlock for the sub-128-channel "
+                         "exact-2x blocks (up4/up5) instead of the naive "
+                         "full-res block — the round-3 packed decoder tail")
     args = ap.parse_args()
     b = args.batch
 
@@ -54,23 +58,38 @@ def main():
         ("up5", 64, 64, 0, (114, 152), (228, 304)),
     ]
 
+    from cspn_monodepth_tpu.models.unet import PackedUpProjBlock
+
     res = {}
     for name, cin, ch, cs, in_hw, out_hw in blocks:
-        blk = UpProjBlock(ch)
+        # The packed variant applies where the round-3 decoder uses it:
+        # sub-128-channel blocks with exact-2x geometry (models/unet.py
+        # UpProjDecoder._pack_block) — up4 and up5 at the NYU shape.
+        packed = (args.packed and ch < 128
+                  and tuple(out_hw) == (2 * in_hw[0], 2 * in_hw[1]))
+        blk = PackedUpProjBlock(ch) if packed else UpProjBlock(ch)
         x = jax.random.uniform(jax.random.key(0), (b, *in_hw, cin),
                                jnp.float32)
         skip = (jax.random.uniform(jax.random.key(1), (b, *out_hw, cs),
                                    jnp.float32) if cs else None)
-        v = blk.init(jax.random.key(2), x, skip=skip, out_hw=out_hw,
-                     train=False)
+        if packed:
+            v = blk.init(jax.random.key(2), x, skip=skip, train=False)
 
-        def fwd(xx, vv, blk=blk, skip=skip, out_hw=out_hw):
-            y = blk.apply(vv, xx, skip=skip, out_hw=out_hw, train=False)
-            return xx + jnp.mean(y).astype(xx.dtype) * 1e-9
+            def fwd(xx, vv, blk=blk, skip=skip):
+                y = blk.apply(vv, xx, skip=skip, train=False)
+                return xx + jnp.mean(y).astype(xx.dtype) * 1e-9
+        else:
+            v = blk.init(jax.random.key(2), x, skip=skip, out_hw=out_hw,
+                         train=False)
+
+            def fwd(xx, vv, blk=blk, skip=skip, out_hw=out_hw):
+                y = blk.apply(vv, xx, skip=skip, out_hw=out_hw, train=False)
+                return xx + jnp.mean(y).astype(xx.dtype) * 1e-9
 
         t = chain_time(fwd, x, args.iters, v)
         gf = block_flops(cin, ch, cs, in_hw, out_hw) * b / 1e9
         res[name] = {
+            "packed": packed,
             "fwd_ms": round(t * 1e3, 3),
             "gflops": round(gf, 1),
             "ideal_ms": round(gf / PEAK_BF16_TFLOPS, 3),
@@ -78,11 +97,17 @@ def main():
         }
 
         if args.train:
-            def loss(p, xx, vv, blk=blk, skip=skip, out_hw=out_hw):
-                y = blk.apply({**vv, "params": p}, xx, skip=skip,
-                              out_hw=out_hw, train=True,
-                              mutable=["batch_stats"])[0]
-                return jnp.mean(y.astype(jnp.float32) ** 2)
+            if packed:
+                def loss(p, xx, vv, blk=blk, skip=skip):
+                    y = blk.apply({**vv, "params": p}, xx, skip=skip,
+                                  train=True, mutable=["batch_stats"])[0]
+                    return jnp.mean(y.astype(jnp.float32) ** 2)
+            else:
+                def loss(p, xx, vv, blk=blk, skip=skip, out_hw=out_hw):
+                    y = blk.apply({**vv, "params": p}, xx, skip=skip,
+                                  out_hw=out_hw, train=True,
+                                  mutable=["batch_stats"])[0]
+                    return jnp.mean(y.astype(jnp.float32) ** 2)
 
             def step(carry, vv, loss=loss):
                 p, xx = carry
