@@ -33,6 +33,7 @@ class ModelConfig:
     # (models/unet.py PackedUpProjBlock) — numerically equivalent, much
     # faster full-res tail on TPU; False = the straightforward layout.
     packed_tail: bool = True
+    packed_stem: bool = True
     # Path to a torchvision ResNet checkpoint (.pth) to graft into the
     # encoder at init — the reference's `pretrained=True` workflow
     # (models/torch_weights.py; 4th input channel = mean of RGB filters).

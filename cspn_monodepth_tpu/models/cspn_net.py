@@ -53,6 +53,12 @@ class CSPNDepthNet(nn.Module):
     # the 9-channel head output is interleaved to full res. Numerically
     # equivalent (tests/test_model.py), parameter tree identical.
     packed_tail: bool = True
+    # Run the encoder stem packed too (models/resnet.py): conv1's
+    # 4-channel contraction and half-lane (H/2, W/2, 64) stem map never
+    # materialize; the stem skip flows to the decoder in packed form.
+    # Active when H and W divide by 4. Numerically equivalent, parameter
+    # tree identical.
+    packed_stem: bool = True
     # When set (a jax.sharding.Mesh with a "spatial" axis of size > 1), the
     # CSPN refinement runs through the explicit shard_map halo-exchange
     # path (parallel/halo.py) instead of relying on XLA auto-SPMD.
@@ -78,18 +84,21 @@ class CSPNDepthNet(nn.Module):
             stages, block = ARCHS[self.arch]
         else:
             stages, block = tuple(self.encoder_stages), self.encoder_block
-        skips = ResNetEncoder(
+        encoder = ResNetEncoder(
             stage_sizes=stages,
             block=block,
             width=self.encoder_width,
-            dtype=self.dtype, name="encoder")(x, train=train)
+            dtype=self.dtype,
+            packed_stem=self.packed_stem, name="encoder")
+        skips = encoder(x, train=train)
         decoder = UpProjDecoder(
             channels=tuple(self.decoder_channels),
             channels_out=self.decoder_out,
             block=self.decoder_block,
             dtype=self.dtype,
             packed_tail=self.packed_tail, name="decoder")
-        feat = decoder(skips, out_hw=(h, w), train=train)
+        feat = decoder(skips, out_hw=(h, w), train=train,
+                       stem_packed=encoder.stem_is_packed(h, w))
         packed = decoder.tail_is_packed((h, w))
 
         # Heads (SURVEY.md R5): 1ch blur depth + 8ch guidance.

@@ -23,7 +23,9 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 class Bottleneck(nn.Module):
@@ -87,6 +89,29 @@ class BasicBlock(nn.Module):
         return nn.relu(y + residual)
 
 
+def packed_stem_maxpool(sp: jax.Array, c: int) -> jax.Array:
+    """3x3 stride-2 max pool of the full-resolution map represented by its
+    space-to-depth packing sp (B, Hq, Wq, 4c) -> (B, Hq, Wq, c).
+
+    Full-res rows 2m-1..2m+1 live in packed rows m-1 (parity 1) and m
+    (parities 0, 1), so the pool is an elementwise max over 9 shifted
+    channel-block views — the half-lane full-res map is never
+    materialized. Matches nn.max_pool(window (3,3), stride 2,
+    padding ((1,1),(1,1))) exactly (flax pads max_pool with -inf).
+    """
+    hq, wq = sp.shape[1:3]
+    p = jnp.pad(sp, ((0, 0), (1, 0), (1, 0), (0, 0)),
+                constant_values=-jnp.inf)
+    taps = ((-1, 1), (0, 0), (0, 1))    # (packed shift, parity)
+    out = None
+    for du, py in taps:
+        for dv, px in taps:
+            t = p[:, 1 + du:1 + du + hq, 1 + dv:1 + dv + wq,
+                  (2 * py + px) * c:(2 * py + px + 1) * c]
+            out = t if out is None else jnp.maximum(out, t)
+    return out
+
+
 # arch name -> (stage_sizes, block kind). Expansion is 1 for basic, 4 for
 # bottleneck, so skip widths are 64/128/256/512 (r18/34) vs 256/.../2048.
 ARCHS = {
@@ -110,19 +135,50 @@ class ResNetEncoder(nn.Module):
     width: int = 64
     block: str = "bottleneck"                   # "bottleneck" | "basic"
     dtype: jnp.dtype = jnp.bfloat16
+    # Run the stem in space-to-depth packed layout when H and W divide by
+    # 4 (stem_is_packed): conv1's 4-channel contraction (4/128 MXU lanes)
+    # becomes a 16*Cin-deep conv on the double-packed input, and the
+    # half-lane (H/2, W/2, 64) stem map is never materialized — BN runs
+    # packed (PackedBatchNorm), the pool reads packed channel blocks, and
+    # the stem SKIP is returned PACKED (B, H/4, W/4, 4*width); callers
+    # check stem_is_packed(). Parameter tree is identical either way.
+    packed_stem: bool = False
+
+    def stem_is_packed(self, h: int, w: int) -> bool:
+        return self.packed_stem and h % 4 == 0 and w % 4 == 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
-        # torch-style symmetric padding throughout (see Bottleneck note).
-        x = nn.Conv(self.width, (7, 7), strides=(2, 2),
-                    padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
-        stem = nn.relu(x)
-        x = nn.max_pool(stem, (3, 3), strides=(2, 2),
-                        padding=((1, 1), (1, 1)))
+        h, w = x.shape[1:3]
+        if self.stem_is_packed(h, w):
+            from cspn_monodepth_tpu.models.unet import (
+                PackedBatchNorm,
+                _KernelParam,
+                pack_stride2_conv_kernel,
+                space_to_depth,
+            )
+
+            k = _KernelParam((7, 7, x.shape[-1], self.width),
+                             name="conv1")()
+            x2 = space_to_depth(space_to_depth(x))
+            y = lax.conv_general_dilated(
+                x2, pack_stride2_conv_kernel(k).astype(self.dtype), (1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = PackedBatchNorm(dtype=self.dtype, name="bn1")(y, train)
+            stem = nn.relu(y)               # PACKED (B, H/4, W/4, 4*width)
+            x = packed_stem_maxpool(stem, self.width)
+        else:
+            # torch-style symmetric padding throughout (Bottleneck note).
+            x = nn.Conv(self.width, (7, 7), strides=(2, 2),
+                        padding=((3, 3), (3, 3)),
+                        use_bias=False, dtype=self.dtype, name="conv1")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+            stem = nn.relu(x)
+            x = nn.max_pool(stem, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))
 
         block_cls = {"bottleneck": Bottleneck, "basic": BasicBlock}[self.block]
         skips = [stem]

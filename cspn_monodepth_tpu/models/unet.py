@@ -109,6 +109,53 @@ def pack_conv_kernel(k: jax.Array) -> jax.Array:
     return kp.reshape(3, 3, 4 * cin, 4 * cout)
 
 
+def _parity_routing_s2(k_size: int):
+    """R[u0, s, p, d0] in {0,1}: tap offset d (= d0 - k//2) of a STRIDE-2
+    SAME conv maps, for output parity p, onto double-packed input row
+    offset u (= u0 - 1) and sub-position s (= full-res row mod 4) iff
+    2p + d = 4u + s. (numpy constant, built once at trace time)"""
+    import numpy as np
+
+    half = k_size // 2
+    r = np.zeros((3, 4, 2, k_size), np.float32)
+    for p in (0, 1):
+        for d0 in range(k_size):
+            e = 2 * p + d0 - half
+            u = e >> 2          # floor division by 4 (negative-safe)
+            s = e - 4 * u
+            if -1 <= u <= 1:
+                r[u + 1, s, p, d0] = 1.0
+    return r
+
+
+def pack_stride2_conv_kernel(k: jax.Array) -> jax.Array:
+    """Transform a STRIDE-2 SAME-conv kernel (kh, kw, Cin, Cout), kh/kw
+    odd and <= 7, into the equivalent (3, 3, 16*Cin, 4*Cout) stride-1
+    kernel applied to the DOUBLE space-to-depth packed input — channel
+    blocks ordered (p2y, p2x, p1y, p1x, c), i.e. space_to_depth applied
+    twice — producing the s2d-packed output:
+
+        conv_1x1stride(s2d(s2d(x)), pack_stride2_conv_kernel(k))
+          == s2d(conv_stride2(x, k))      [symmetric k//2 zero padding]
+
+    Used by the packed ResNet stem (models/resnet.py): conv1's 4-channel
+    input (4/128 lanes on the MXU's contraction axis) and 64-channel
+    half-lane full-res output never materialize; the packed form
+    contracts over 16*Cin = 64 lanes and emits 4*Cout = 256. ~3x the
+    structural MACs of the direct stride-2 conv, on shapes that actually
+    fill the MXU."""
+    kh, kw, cin, cout = k.shape
+    assert kh % 2 == 1 and kw % 2 == 1 and kh <= 7 and kw <= 7, (kh, kw)
+    ry = jnp.asarray(_parity_routing_s2(kh), k.dtype)   # (3, 4, 2, kh)
+    rx = jnp.asarray(_parity_routing_s2(kw), k.dtype)
+    kp = jnp.einsum("uspa,vtqb,abio->uvstipqo", ry, rx, k)
+    # split sy -> (p2y, p1y), sx -> (p2x, p1x)  [sy = 2*p2y + p1y], then
+    # order input blocks (p2y, p2x, p1y, p1x, c) to match s2d(s2d(x)).
+    kp = kp.reshape(3, 3, 2, 2, 2, 2, cin, 2, 2, cout)
+    kp = kp.transpose(0, 1, 2, 4, 3, 5, 6, 7, 8, 9)
+    return kp.reshape(3, 3, 16 * cin, 4 * cout)
+
+
 def _upsample2x(x: jax.Array) -> jax.Array:
     """Nearest-neighbor 2x unpool in NHWC (reshape-broadcast). Used by the
     naive reference path and for the skip-free residual elsewhere."""
@@ -305,7 +352,7 @@ class PackedUpProjBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, skip: jax.Array | None = None,
-                 train: bool = False) -> jax.Array:
+                 train: bool = False, skip_packed: bool = False) -> jax.Array:
         cin = x.shape[-1]
         ch = self.channels
         k1a = self.param("conv1a_up", nn.initializers.lecun_normal(),
@@ -320,7 +367,10 @@ class PackedUpProjBlock(nn.Module):
         a, c = y[..., :4 * ch], y[..., 4 * ch:]  # packed branch maps
 
         if skip is not None:
-            cs = skip.shape[-1]
+            # skip_packed: the caller hands the skip already in s2d form
+            # (the packed encoder stem) — its real channel count is 1/4
+            # of the array's.
+            cs = skip.shape[-1] // 4 if skip_packed else skip.shape[-1]
             ks1 = self.param("conv1a_skip", nn.initializers.lecun_normal(),
                              (5, 5, cs, ch), jnp.float32)
             ks2 = self.param("conv2_skip", nn.initializers.lecun_normal(),
@@ -329,8 +379,9 @@ class PackedUpProjBlock(nn.Module):
             # output channel blocks stay branch-major like (a, c).
             kp = jnp.concatenate(
                 [pack_conv_kernel(ks1), pack_conv_kernel(ks2)], axis=-1)
+            skip_s2d = skip if skip_packed else space_to_depth(skip)
             sk = lax.conv_general_dilated(
-                space_to_depth(skip).astype(self.dtype),
+                skip_s2d.astype(self.dtype),
                 kp.astype(self.dtype), (1, 1),
                 padding=((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -424,7 +475,11 @@ class UpProjDecoder(nn.Module):
                 and tuple(out_hw) == (2 * in_hw[0], 2 * in_hw[1]))
 
     @nn.compact
-    def __call__(self, skips, out_hw: tuple[int, int], train: bool = False):
+    def __call__(self, skips, out_hw: tuple[int, int], train: bool = False,
+                 stem_packed: bool = False):
+        # stem_packed: the encoder delivered the stem skip in s2d-packed
+        # form (B, H/4, W/4, 4C) (models/resnet.py packed stem); a packed
+        # up block consumes it directly, anything else depth-to-spaces it.
         stem, c1, c2, c3, c4 = skips
         block_cls = _BLOCKS[self.block]
 
@@ -438,16 +493,21 @@ class UpProjDecoder(nn.Module):
 
         for i, (ch, skip) in enumerate(
                 zip(self.channels, (c3, c2, c1, stem))):
-            target = skip.shape[1:3]
+            is_stem = i == len(self.channels) - 1
+            skip_is_packed = stem_packed and is_stem
+            target = (tuple(2 * d for d in skip.shape[1:3])
+                      if skip_is_packed else skip.shape[1:3])
             if self._pack_block(ch, x.shape[1:3], target):
                 # Sub-128-channel blocks whose geometry is an exact 2x run
                 # packed (half-lane layout fix); depth-to-space once for
                 # the next block's input.
                 xp = PackedUpProjBlock(
                     ch, dtype=self.dtype, name=f"upproj{i + 1}")(
-                    x, skip=skip, train=train)
+                    x, skip=skip, train=train, skip_packed=skip_is_packed)
                 x = depth_to_space(xp)
             else:
+                if skip_is_packed:
+                    skip = depth_to_space(skip)
                 x = block_cls(ch, dtype=self.dtype, name=f"upproj{i + 1}")(
                     x, skip=skip, out_hw=target, train=train)
 

@@ -76,7 +76,8 @@ class DepthPredictor:
             decoder_channels=tuple(cfg.model.decoder_channels),
             decoder_out=cfg.model.decoder_out,
             decoder_block=cfg.model.decoder_block,
-            packed_tail=cfg.model.packed_tail)
+            packed_tail=cfg.model.packed_tail,
+            packed_stem=cfg.model.packed_stem)
         return cls(model, variables["params"], variables["batch_stats"],
                    cfg.data.height, cfg.data.width)
 

@@ -72,6 +72,7 @@ class Trainer:
             decoder_out=cfg.model.decoder_out,
             decoder_block=cfg.model.decoder_block,
             packed_tail=cfg.model.packed_tail,
+            packed_stem=cfg.model.packed_stem,
             spatial_mesh=self.mesh if cfg.mesh.spatial > 1 else None,
         )
         self.train_ds = make_dataset(cfg.data, "train", seed=cfg.train.seed)

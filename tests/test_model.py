@@ -289,3 +289,99 @@ def test_model_packed_tail_odd_size_falls_back():
     out = model.apply(variables, x, train=False)
     assert out.shape == (1, 31, 49, 1)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_pack_stride2_conv_kernel_equivalence():
+    """Stride-1 conv over the DOUBLE space-to-depth input with the routed
+    kernel == space-to-depth of the stride-2 symmetric-padded conv (the
+    packed encoder stem's conv1), borders included, 7x7 and 5x5."""
+    from jax import lax
+
+    from cspn_monodepth_tpu.models.unet import (
+        pack_stride2_conv_kernel,
+        space_to_depth,
+    )
+
+    rng = np.random.default_rng(4)
+    for h, w, cin, cout, ks in [(16, 24, 4, 6, 7), (12, 8, 3, 5, 5),
+                                (8, 8, 1, 2, 7)]:
+        x = jnp.asarray(rng.normal(size=(2, h, w, cin)).astype(np.float32))
+        k = jnp.asarray(
+            rng.normal(size=(ks, ks, cin, cout)).astype(np.float32))
+        p = ks // 2
+        want = space_to_depth(lax.conv_general_dilated(
+            x, k, (2, 2), padding=((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")))
+        got = lax.conv_general_dilated(
+            space_to_depth(space_to_depth(x)), pack_stride2_conv_kernel(k),
+            (1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_packed_stem_maxpool_equivalence():
+    """packed_stem_maxpool on the s2d map == nn.max_pool(3x3, stride 2,
+    pad 1) on the full-res map, negative values included."""
+    import flax.linen as nn
+
+    from cspn_monodepth_tpu.models.resnet import packed_stem_maxpool
+    from cspn_monodepth_tpu.models.unet import space_to_depth
+
+    rng = np.random.default_rng(5)
+    for h, w, c in [(14, 20, 5), (8, 8, 3)]:
+        x = jnp.asarray(rng.normal(size=(2, h, w, c)).astype(np.float32))
+        want = nn.max_pool(x, (3, 3), strides=(2, 2),
+                           padding=((1, 1), (1, 1)))
+        got = packed_stem_maxpool(space_to_depth(x), c)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_model_packed_stem_equivalence(train):
+    """packed_stem=True == packed_stem=False on the full model (f32):
+    identical parameter trees, matching outputs and batch-stat updates.
+    Exercises the packed conv1 + PackedBatchNorm stem + packed maxpool +
+    the packed-skip path into the final up blocks."""
+    mk = lambda ps: CSPNDepthNet(  # noqa: E731
+        modality="rgbd", num_iters=2, cspn_impl="jnp", dtype=jnp.float32,
+        packed_tail=True, packed_stem=ps, **TINY)
+    x = jax.random.uniform(jax.random.key(7), (2, 32, 48, 4))
+    m0, m1 = mk(False), mk(True)
+    v0 = m0.init(jax.random.key(1), x, train=False)
+    v1 = m1.init(jax.random.key(1), x, train=False)
+    assert jax.tree.structure(v0) == jax.tree.structure(v1)
+    for a, b in zip(jax.tree.leaves(v0), jax.tree.leaves(v1)):
+        assert a.shape == b.shape
+
+    v = jax.tree.map(np.asarray, v0)
+    rng = np.random.default_rng(8)
+    for name in ("depth_head_kernel", "guidance_head_kernel"):
+        v["params"][name] = (
+            0.1 * rng.standard_normal(v["params"][name].shape)
+        ).astype(np.float32)
+
+    if train:
+        out0, mut0 = m0.apply(v, x, train=True, mutable=["batch_stats"])
+        out1, mut1 = m1.apply(v, x, train=True, mutable=["batch_stats"])
+        for a, b in zip(jax.tree.leaves(mut0), jax.tree.leaves(mut1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-5)
+    else:
+        out0 = m0.apply(v, x, train=False)
+        out1 = m1.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_model_packed_stem_indivisible_falls_back():
+    """H or W not divisible by 4: the packed stem must gate itself off and
+    the model still runs (30x48: 30 % 4 != 0)."""
+    model = CSPNDepthNet(
+        modality="rgbd", num_iters=1, cspn_impl="jnp", dtype=jnp.float32,
+        packed_tail=True, packed_stem=True, **TINY)
+    x = jax.random.uniform(jax.random.key(9), (1, 30, 48, 4))
+    v = model.init(jax.random.key(1), x, train=False)
+    out = model.apply(v, x, train=False)
+    assert out.shape == (1, 30, 48, 1)
+    assert bool(jnp.all(jnp.isfinite(out)))

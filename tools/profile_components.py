@@ -60,12 +60,15 @@ def main():
     key = jax.random.key(0)
     x = jax.random.uniform(key, (b, h, w, 4), jnp.float32)
 
-    enc = ResNetEncoder()
+    # Probe the same variants the flagship model runs (packed stem +
+    # packed decoder tail — models/cspn_net.py defaults).
+    enc = ResNetEncoder(packed_stem=True)
+    stem_packed = enc.stem_is_packed(h, w)
     ev = enc.init(jax.random.key(1), x, train=False)
-    skips = jax.eval_shape(lambda: enc.apply(ev, x, train=False))
-    dec = UpProjDecoder()
+    dec = UpProjDecoder(packed_tail=True)
     skips_c = jax.jit(lambda v, xx: enc.apply(v, xx, train=False))(ev, x)
-    dv = dec.init(jax.random.key(2), skips_c, out_hw=(h, w), train=False)
+    dv = dec.init(jax.random.key(2), skips_c, out_hw=(h, w), train=False,
+                  stem_packed=stem_packed)
 
     model = CSPNDepthNet(modality="rgbd", num_iters=args.num_iters)
     mv = model.init(jax.random.key(3), x, train=False)
@@ -85,7 +88,8 @@ def main():
 
     # decoder fwd: carry skips -> skips
     def dec_step(sk, v):
-        f = dec.apply(v, sk, out_hw=(h, w), train=False)
+        f = dec.apply(v, sk, out_hw=(h, w), train=False,
+                      stem_packed=stem_packed)
         bump = jnp.mean(f).astype(sk[0].dtype) * 1e-9
         return tuple(s + bump for s in sk)
 
@@ -127,6 +131,7 @@ def main():
 
         def dec_loss(p, sk, v):
             f = dec.apply({**v, "params": p}, sk, out_hw=(h, w), train=True,
+                          stem_packed=stem_packed,
                           mutable=["batch_stats"])[0]
             return jnp.mean(f.astype(jnp.float32) ** 2)
 
