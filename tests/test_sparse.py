@@ -75,3 +75,24 @@ def test_stereo_sampler_respects_validity():
     rgb = jax.random.uniform(jax.random.key(1), (1, 16, 16, 3))
     out = np.asarray(stereo_sparse_sample(jax.random.key(2), dense, rgb, 30))
     assert (out[0, :8] == 0).all() and (out > 0).sum() == 30
+
+
+def test_top_k_mask_equals_top_k_threshold():
+    """_top_k_mask (bit-bisection selection) == thresholding at
+    lax.top_k's k-th value — including exact-tie inflation and the
+    all-below-k row."""
+    from jax import lax
+
+    from cspn_monodepth_tpu.ops.sparse import _top_k_mask
+
+    rng = np.random.default_rng(11)
+    scores = rng.uniform(-1.0, 1.0, (4, 997)).astype(np.float32)
+    scores[1, 100:200] = scores[1, 50]      # massive exact tie block
+    scores[2, :] = -1.0                      # all "invalid"
+    scores[3, ::7] = 0.25                    # scattered ties
+    flat = jnp.asarray(scores)
+    for k in (1, 5, 64, 500, 997):
+        kth = lax.top_k(flat, k)[0][:, -1]
+        want = np.asarray(flat >= kth[:, None])
+        got = np.asarray(_top_k_mask(flat, k))
+        np.testing.assert_array_equal(got, want, err_msg=f"k={k}")

@@ -72,21 +72,29 @@ def main():
                                jnp.float32)
         skip = (jax.random.uniform(jax.random.key(1), (b, *out_hw, cs),
                                    jnp.float32) if cs else None)
+        # The skip rides in the CARRY (with a data dependence on the
+        # previous step) so its convs cannot be hoisted out of the timing
+        # scan as loop-invariant code — a closed-over constant skip made
+        # skip-heavy blocks look impossibly fast.
         if packed:
             v = blk.init(jax.random.key(2), x, skip=skip, train=False)
 
-            def fwd(xx, vv, blk=blk, skip=skip):
-                y = blk.apply(vv, xx, skip=skip, train=False)
-                return xx + jnp.mean(y).astype(xx.dtype) * 1e-9
+            def fwd(carry, vv, blk=blk):
+                xx, sk = carry
+                y = blk.apply(vv, xx, skip=sk, train=False)
+                bump = jnp.mean(y).astype(xx.dtype) * 1e-9
+                return (xx + bump, None if sk is None else sk + bump)
         else:
             v = blk.init(jax.random.key(2), x, skip=skip, out_hw=out_hw,
                          train=False)
 
-            def fwd(xx, vv, blk=blk, skip=skip, out_hw=out_hw):
-                y = blk.apply(vv, xx, skip=skip, out_hw=out_hw, train=False)
-                return xx + jnp.mean(y).astype(xx.dtype) * 1e-9
+            def fwd(carry, vv, blk=blk, out_hw=out_hw):
+                xx, sk = carry
+                y = blk.apply(vv, xx, skip=sk, out_hw=out_hw, train=False)
+                bump = jnp.mean(y).astype(xx.dtype) * 1e-9
+                return (xx + bump, None if sk is None else sk + bump)
 
-        t = chain_time(fwd, x, args.iters, v)
+        t = chain_time(fwd, (x, skip), args.iters, v)
         gf = block_flops(cin, ch, cs, in_hw, out_hw) * b / 1e9
         res[name] = {
             "packed": packed,
@@ -98,25 +106,29 @@ def main():
 
         if args.train:
             if packed:
-                def loss(p, xx, vv, blk=blk, skip=skip):
-                    y = blk.apply({**vv, "params": p}, xx, skip=skip,
+                def loss(p, xx, sk, vv, blk=blk):
+                    y = blk.apply({**vv, "params": p}, xx, skip=sk,
                                   train=True, mutable=["batch_stats"])[0]
                     return jnp.mean(y.astype(jnp.float32) ** 2)
             else:
-                def loss(p, xx, vv, blk=blk, skip=skip, out_hw=out_hw):
-                    y = blk.apply({**vv, "params": p}, xx, skip=skip,
+                def loss(p, xx, sk, vv, blk=blk, out_hw=out_hw):
+                    y = blk.apply({**vv, "params": p}, xx, skip=sk,
                                   out_hw=out_hw, train=True,
                                   mutable=["batch_stats"])[0]
                     return jnp.mean(y.astype(jnp.float32) ** 2)
 
             def step(carry, vv, loss=loss):
-                p, xx = carry
-                g = jax.grad(loss)(p, xx, vv)
+                p, xx, sk = carry
+                lv, g = jax.value_and_grad(loss)(p, xx, sk, vv)
                 p = jax.tree.map(
                     lambda a, b_: a - 1e-9 * b_.astype(a.dtype), p, g)
-                return p, xx
+                # feed the loss back into the skip so it is not
+                # loop-invariant (hoistable) across the timing scan
+                if sk is not None:
+                    sk = sk + lv.astype(sk.dtype) * 1e-12
+                return p, xx, sk
 
-            tb = chain_time(step, (v["params"], x), args.iters, v)
+            tb = chain_time(step, (v["params"], x, skip), args.iters, v)
             res[name]["fwdbwd_ms"] = round(tb * 1e3, 3)
 
     print(json.dumps(res, indent=1))
