@@ -17,9 +17,12 @@ Grid: one program per batch element; the whole (H, W) image lives in VMEM
 spatially-sharded path in parallel/halo.py, which shrinks the per-device
 working set below VMEM limits and can call this kernel per shard).
 
-The backward pass uses a custom VJP whose rule is the VJP of the jnp
-`lax.scan` reference (rematerialized forward) — numerically identical
-(tests/test_cspn_pallas.py) while XLA handles the adjoint stencil.
+The backward pass is a hand-written Pallas adjoint (stash forward +
+gather-formulation adjoint-stencil kernel, default ON — see
+use_pallas_adjoint for the measurement history); shapes beyond its VMEM
+budget fall back to the VJP of the jnp `lax.scan` reference. Both are
+numerically identical to jax.vjp of the reference
+(tests/test_cspn_pallas.py).
 
 Layout note: the kernel wants gate planes as (8, H, W) so each plane is a
 natively-tileable (sublane=H, lane=W) 2D array; the public channels-last
@@ -172,6 +175,315 @@ _cspn_kernel = _squeeze_kernel(_cspn_kernel)
 # --------------------------------------------------------------------------
 
 
+def _cspn_kernel_stash(guid_ref, blur_ref, sparse_ref, out_ref, stash_ref,
+                       dpad_ref, dcur_ref, sem, *,
+                       num_iters: int, norm_type: str, has_sparse: bool):
+    """Forward + stash: like _cspn_kernel, but writes d^t (the depth plane
+    each iteration STARTS from) to stash_ref[b, t] in HBM.
+
+    guid (1, 8, H, W) / blur / sparse / out (1, H, W) VMEM blocks;
+    stash_ref (B, T, H, W) in ANY/HBM. dcur is the DMA staging plane.
+    """
+    b = pl.program_id(0)
+    h, w = blur_ref.shape[1:]
+
+    gates, gate_center = _normalize_gates(guid_ref[0], norm_type)
+
+    d0 = blur_ref[0]
+    sp = m = None
+    if has_sparse:
+        sp = sparse_ref[0]
+        m = (sp > 0).astype(d0.dtype)
+        d0 = (1.0 - m) * d0 + m * sp
+
+    dpad_ref[...] = jnp.zeros((h + 2, w + 2), d0.dtype)
+    dpad_ref[1:h + 1, 1:w + 1] = d0
+
+    def body(t, carry):
+        dcur_ref[...] = dpad_ref[1:h + 1, 1:w + 1]      # d^t
+        cp = pltpu.make_async_copy(dcur_ref, stash_ref.at[b, t], sem)
+        cp.start()
+        dl = dpad_ref[:, 0:w]
+        dc = dpad_ref[:, 1:w + 1]
+        dr = dpad_ref[:, 2:w + 2]
+        new = gate_center * dc[1:h + 1]
+        new += gates[0] * dl[0:h] + gates[3] * dl[1:h + 1] + gates[5] * dl[2:h + 2]
+        new += gates[1] * dc[0:h] + gates[6] * dc[2:h + 2]
+        new += gates[2] * dr[0:h] + gates[4] * dr[1:h + 1] + gates[7] * dr[2:h + 2]
+        if has_sparse:
+            new = (1.0 - m) * new + m * sp
+        cp.wait()                    # dcur must land before next overwrite
+        dpad_ref[1:h + 1, 1:w + 1] = new
+        return carry
+
+    lax.fori_loop(0, num_iters, body, 0, unroll=False)
+    out_ref[0] = dpad_ref[1:h + 1, 1:w + 1]
+
+
+def _cspn_bwd_kernel(guid_hbm, sparse_ref, lam_ref, stash_ref,
+                     dguid_hbm, dblur_ref, dsparse_ref,
+                     dg_vmem, gpad_vmem, upad, dpad2, dcur_ref,
+                     g0acc_ref, sem_g, sem_d, sem_o, *,
+                     num_iters: int, norm_type: str, has_sparse: bool,
+                     eps: float = 1e-8):
+    """Adjoint of the propagation for one batch element.
+
+    The 8-plane guidance input and gradient output go through HBM with
+    manual single-buffered DMA (automatic block pipelining would
+    double-buffer them — 32 extra planes of VMEM); guidance is staged
+    through dg_vmem, which only becomes the gradient accumulator after
+    the normalized gates have been extracted into gpad_vmem.
+
+    The adjoint stencil is computed as a pure GATHER over
+    iteration-invariant zero-PADDED gate planes:
+        lam'(j) = g0(j)*lam_u(j) + sum_k (g_k*lam_u)(j - off_k)
+    reading gpad_k and the padded lam_u plane at the flipped offsets and
+    accumulating in registers — an earlier scatter formulation paid 8
+    read-modify-write passes over a padded accumulator per iteration
+    (plus re-zeroing it). Padded borders of upad/dpad2 are zeroed once;
+    only interiors are rewritten per iteration. Streams d^t from
+    stash_ref in reverse; accumulates dL/dgate_k in dg_vmem (converted
+    to raw-affinity grads at the end) and dL/dgate_center in g0acc_ref.
+    lam_ref holds dL/d(output).
+    """
+    h, w = lam_ref.shape[1:]
+    b = pl.program_id(0)
+
+    cp_g = pltpu.make_async_copy(guid_hbm.at[b], dg_vmem, sem_g)
+    cp_g.start()
+
+    # Only the complement mask om = 1 - (sp > 0) is kept live across the
+    # loop; the masked term m*lam is recovered as lam - om*lam, saving one
+    # (H, W) plane of scoped VMEM (the kernel sits within ~1% of the
+    # scoped limit at the NYU headline shape).
+    om = None
+    if has_sparse:
+        om = 1.0 - (sparse_ref[0] > 0).astype(jnp.float32)
+
+    cp_g.wait()
+
+    s = jnp.abs(dg_vmem[0])
+    for k in range(1, 8):
+        s += jnp.abs(dg_vmem[k])
+    floor = 1.0 if norm_type == "8sum_clamp" else eps
+    inv_d = 1.0 / jnp.maximum(s, floor)
+    active = (s > floor).astype(jnp.float32)
+
+    # Iteration-invariant SIGNED stored gates, zero-padded: stored_k =
+    # raw_k * inv_d. The propagation gate is stored_k for the signed norms
+    # and |stored_k| for 8sum_abs; sign(stored_k) == sign(raw_k) recovers
+    # the normalization chain rule at the end (inv_d > 0), so the raw
+    # guidance staging can be released to the gradient accumulator.
+    def gate_of(stored):
+        return jnp.abs(stored) if norm_type == "8sum_abs" else stored
+
+    gpad_vmem[...] = jnp.zeros((8, h + 2, w + 2), jnp.float32)
+    gsum = jnp.zeros((h, w), jnp.float32)
+    for k in range(8):
+        stored = dg_vmem[k] * inv_d
+        gpad_vmem[k, 1:h + 1, 1:w + 1] = stored
+        gsum += gate_of(stored)
+    gate_center = 1.0 - gsum
+
+    dg_vmem[...] = jnp.zeros((8, h, w), jnp.float32)
+    g0acc_ref[...] = jnp.zeros((h, w), jnp.float32)
+    dsparse_ref[...] = jnp.zeros((1, h, w), jnp.float32)
+    upad[...] = jnp.zeros((h + 2, w + 2), jnp.float32)
+    dpad2[...] = jnp.zeros((h + 2, w + 2), jnp.float32)
+
+    def body(i, lam):
+        t = num_iters - 1 - i
+        cp = pltpu.make_async_copy(stash_ref.at[b, t], dcur_ref, sem_d)
+        cp.start()
+        if has_sparse:
+            lam_u = om * lam
+            dsparse_ref[0] += lam - lam_u
+        else:
+            lam_u = lam
+        upad[1:h + 1, 1:w + 1] = lam_u
+        cp.wait()
+        d = dcur_ref[...]                   # d^t
+
+        # Gate gradients: G_k += lam_u * shift_k(d), G_0 += lam_u * d.
+        g0acc_ref[...] += lam_u * d
+        dpad2[1:h + 1, 1:w + 1] = d
+
+        acc = gate_center * lam_u
+        for k, (dy, dx) in enumerate(NEIGHBOR_OFFSETS):
+            dg_vmem[k] += lam_u * dpad2[1 + dy:1 + dy + h,
+                                        1 + dx:1 + dx + w]
+            # Gather term (g_{k2}*lam_u)(j + (dy, dx)) for the neighbor
+            # k2 with off_{k2} = (-dy, -dx); the offset set is symmetric,
+            # so looping all 8 (dy, dx) covers every k2 exactly once.
+            k2 = NEIGHBOR_OFFSETS.index((-dy, -dx))
+            acc += (gate_of(gpad_vmem[k2, 1 + dy:1 + dy + h,
+                                      1 + dx:1 + dx + w])
+                    * upad[1 + dy:1 + dy + h, 1 + dx:1 + dx + w])
+        return acc
+
+    lam0 = lax.fori_loop(0, num_iters, body, lam_ref[0], unroll=False)
+
+    if has_sparse:
+        dbl = om * lam0
+        dblur_ref[0] = dbl
+        dsparse_ref[0] += lam0 - dbl
+    else:
+        dblur_ref[0] = lam0
+
+    # Normalization chain rule: G_hat_k = G_k - G_0;
+    # c1 = sum_k G_hat_k * gate_k; grads w.r.t. raw affinities:
+    #   signed:  (G_hat_l - [s > floor] * sign(g_l) * c1) / max(s, floor)
+    #   abs:     sign(g_l) * (G_hat_l - [s > floor] * c1) / max(s, floor)
+    g0 = g0acc_ref[...]
+    c1 = jnp.zeros((h, w), jnp.float32)
+    for k in range(8):
+        c1 += (dg_vmem[k] - g0) * gate_of(gpad_vmem[k, 1:h + 1, 1:w + 1])
+    for k in range(8):
+        ghat = dg_vmem[k] - g0
+        sgn = jnp.sign(gpad_vmem[k, 1:h + 1, 1:w + 1])
+        if norm_type == "8sum_abs":
+            dg_vmem[k] = sgn * (ghat - active * c1) * inv_d
+        else:
+            dg_vmem[k] = (ghat - sgn * (active * c1)) * inv_d
+
+    cp_o = pltpu.make_async_copy(dg_vmem, dguid_hbm.at[b], sem_o)
+    cp_o.start()
+    cp_o.wait()
+
+
+def _pad_hw(x, hp, wp):
+    """Zero-pad the last two dims (H, W) to (hp, wp) — Mosaic DMA slices
+    must be sublane (8) and lane (128) aligned; zero gates keep the pad
+    region inert."""
+    if x.shape[-1] == wp and x.shape[-2] == hp:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[-2] = (0, hp - x.shape[-2])
+    pad[-1] = (0, wp - x.shape[-1])
+    return jnp.pad(x, pad)
+
+
+def _cspn_pallas_stash_fwd(guidance, blur, sparse, num_iters, norm_type,
+                           has_sparse, interpret):
+    """Run the stash forward; returns (out (B,H,W), stash (B,T,Hp,Wp))."""
+    b, h, w, _ = guidance.shape
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    guid_t = _pad_hw(jnp.moveaxis(guidance, -1, 1), hp, wp).astype(jnp.float32)
+    blur_p = _pad_hw(blur, hp, wp).astype(jnp.float32)
+    sp_p = _pad_hw(sparse, hp, wp).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _cspn_kernel_stash, num_iters=num_iters, norm_type=norm_type,
+        has_sparse=has_sparse)
+    out, stash = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 8, hp, wp), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((b, num_iters, hp, wp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hp + 2, wp + 2), jnp.float32),
+            pltpu.VMEM((hp, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=b * hp * wp * num_iters * 19,
+            bytes_accessed=4 * b * hp * wp * (11 + num_iters),
+            transcendentals=0),
+        interpret=interpret,
+    )(guid_t, blur_p, sp_p)
+    return out[:, :h, :w], stash
+
+
+def _cspn_pallas_bwd_impl(guidance, sparse, stash, g_out, num_iters,
+                          norm_type, has_sparse, interpret):
+    b, h, w, _ = guidance.shape
+    hp, wp = stash.shape[-2:]
+    guid_t = _pad_hw(jnp.moveaxis(guidance, -1, 1), hp, wp).astype(jnp.float32)
+    sp_p = _pad_hw(sparse, hp, wp).astype(jnp.float32)
+    lam_p = _pad_hw(g_out, hp, wp).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _cspn_bwd_kernel, num_iters=num_iters, norm_type=norm_type,
+        has_sparse=has_sparse)
+    dguid, dblur, dsparse = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),       # guid (manual DMA)
+            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),       # stash
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),       # dguid (manual DMA)
+            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 8, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((b, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((b, hp, wp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, hp, wp), jnp.float32),        # guid staging /
+                                                         #   grad accumulator
+            pltpu.VMEM((8, hp + 2, wp + 2), jnp.float32),  # padded gates
+            pltpu.VMEM((hp + 2, wp + 2), jnp.float32),   # upad (lam_u)
+            pltpu.VMEM((hp + 2, wp + 2), jnp.float32),   # dpad2 (d^t)
+            pltpu.VMEM((hp, wp), jnp.float32),          # dcur
+            pltpu.VMEM((hp, wp), jnp.float32),          # g0 accumulator
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=b * hp * wp * num_iters * 40,
+            bytes_accessed=4 * b * hp * wp * (20 + num_iters),
+            transcendentals=0),
+        # The scratch planes + Mosaic stack temporaries exceed the 16 MiB
+        # default scoped-vmem limit by ~1% at the NYU headline shape; the
+        # v5e has 128 MiB of physical VMEM, so raise the cap.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(guid_t, sp_p, lam_p, stash)
+    dguid = jnp.moveaxis(dguid[:, :, :h, :w], 1, -1)
+    return dguid, dblur[:, :h, :w], dsparse[:, :h, :w]
+
+
+# VMEM budget for the backward kernel: ~28 explicit scratch/block planes
+# (grad accumulator 8 — doubling as the guidance staging — + padded gate
+# planes 8 + upad/dpad2 pads + 4 double-buffered small blocks + streaming
+# planes) plus Mosaic stack temporaries (~30% on top, measured), at the
+# 128-lane-padded width under the raised 32 MiB scoped-vmem cap.
+_BWD_VMEM_PLANE_BUDGET_BYTES = 26 * 1024 * 1024
+
+
+def _bwd_fits_vmem(h: int, w: int) -> bool:
+    wp = -(-w // 128) * 128
+    return 44 * 4 * h * wp <= _BWD_VMEM_PLANE_BUDGET_BYTES
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _cspn_pallas(guidance, blur, sparse, num_iters, norm_type, has_sparse,
                  interpret):
@@ -179,20 +491,49 @@ def _cspn_pallas(guidance, blur, sparse, num_iters, norm_type, has_sparse,
         guidance, blur, sparse, num_iters, norm_type, has_sparse, interpret)
 
 
+def use_pallas_adjoint() -> bool:
+    """Whether the custom VJP uses the hand-written Pallas adjoint.
+
+    DEFAULT ON (opt out with CSPN_PALLAS_ADJOINT=0). History: the adjoint
+    was deleted mid-round-3 after a chained microbenchmark measured it at
+    8.0 ms vs 6.3 ms for XLA's scan VJP — but that comparison was
+    apples-to-oranges: its chain body consumed only the depth gradient,
+    so XLA dead-code-eliminated the expensive 8-plane guidance-gradient
+    accumulation from the SCAN side while the opaque Pallas custom call
+    always paid full cost. An op-level device trace of the real train
+    step (tools/xprof_step.py) showed the full scan VJP at ~30 ms/step
+    (21% of the step); the resurrected gather-formulation adjoint runs
+    the same math in ~8 ms. docs/ARCHITECTURE.md "kernel design".
+    """
+    import os
+
+    return os.environ.get("CSPN_PALLAS_ADJOINT", "1") != "0"
+
+
 def _fwd(guidance, blur, sparse, num_iters, norm_type, has_sparse, interpret):
+    h, w = guidance.shape[1:3]
+    if _bwd_fits_vmem(h, w) and use_pallas_adjoint():
+        out, stash = _cspn_pallas_stash_fwd(
+            guidance, blur, sparse, num_iters, norm_type, has_sparse,
+            interpret)
+        return out, (guidance, blur, sparse, stash)
     out = _cspn_pallas(guidance, blur, sparse, num_iters, norm_type,
                        has_sparse, interpret)
-    return out, (guidance, blur, sparse)
+    return out, (guidance, blur, sparse, None)
 
 
 def _bwd(num_iters, norm_type, has_sparse, interpret, residuals, g_out):
-    # The VJP rule is the VJP of the jnp lax.scan reference with the
-    # forward rematerialized: XLA's scan autodiff measured 6.3 ms vs
-    # 8.0 ms for the best hand-written Pallas adjoint at batch 32 x
-    # 228x304 x T=24 on v5e (see docs/ARCHITECTURE.md "kernel design" for
-    # the deletion record), and CSPN backward is <4% of the train step.
-    guidance, blur, sparse = residuals
+    guidance, blur, sparse, stash = residuals
+    if stash is not None:
+        d_guid, d_blur, d_sparse = _cspn_pallas_bwd_impl(
+            guidance, sparse, stash, g_out, num_iters, norm_type,
+            has_sparse, interpret)
+        if not has_sparse:
+            d_sparse = jnp.zeros_like(sparse)
+        return d_guid, d_blur, d_sparse
 
+    # Fallback (shape exceeds the adjoint's VMEM budget, or opted out):
+    # the VJP of the jnp lax.scan reference, forward rematerialized.
     def ref(gd, bl, sp):
         return cspn_propagate_ref(
             gd, bl, sp if has_sparse else None,
@@ -401,8 +742,9 @@ def _tiled_fwd(guidance, blur, sparse, num_iters, norm_type, has_sparse,
 
 def _tiled_bwd(num_iters, norm_type, has_sparse, interpret, halo_k, tile_h,
                residuals, g_out):
+    guidance, blur, sparse = residuals
     return _bwd(num_iters, norm_type, has_sparse, interpret,
-                residuals, g_out)
+                (guidance, blur, sparse, None), g_out)
 
 
 _cspn_pallas_tiled.defvjp(_tiled_fwd, _tiled_bwd)

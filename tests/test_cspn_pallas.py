@@ -167,12 +167,56 @@ def test_pick_tile_h_budget():
         assert 13 * 4 * slab * w <= 8 * 1024 * 1024 or tile == 8
 
 
-# ------------------------------------------------------- custom VJP glue
-# (The hand-written Pallas adjoint was deleted after its best version
-# measured 8.0 ms vs 6.3 ms for XLA's scan VJP at the headline shape —
-# docs/ARCHITECTURE.md "kernel design". Gradients of the fused kernel
-# always route through the rematerialized jnp-scan VJP, covered by
-# test_pallas_grads_match_ref; this checks the channel-dim round trip.)
+# ------------------------------------------------------------- adjoint
+# Hand-written Pallas backward (stash forward + gather adjoint-stencil
+# kernel, DEFAULT ON): gradients must match jax.vjp of the jnp reference
+# for every norm type, with and without anchors. (The adjoint was
+# briefly deleted mid-round-3 on a biased microbenchmark whose chain
+# consumed only the depth gradient — XLA DCE'd the scan VJP's
+# guidance-gradient work while the opaque kernel paid full cost; an
+# op-level trace of the real train step showed the scan VJP at ~30 ms
+# vs ~8 ms for this kernel. See use_pallas_adjoint.)
+
+
+@pytest.mark.parametrize("norm", ["8sum", "8sum_clamp", "8sum_abs"])
+@pytest.mark.parametrize("with_sparse", [True, False])
+def test_pallas_adjoint_matches_ref(norm, with_sparse):
+    guidance, blur, sparse = _problem(jax.random.key(21), 2, 18, 22)
+    sp = sparse if with_sparse else None
+    cot = jax.random.normal(jax.random.key(22), blur.shape, jnp.float32)
+
+    def f_pallas(g, d, s):
+        return jnp.vdot(cspn_propagate_pallas(
+            g, d, s, num_iters=24, norm_type=norm), cot)
+
+    def f_ref(g, d, s):
+        return jnp.vdot(cspn_propagate_ref(
+            g, d, s, num_iters=24, norm_type=norm), cot)
+
+    argnums = (0, 1) + ((2,) if with_sparse else ())
+    gp = jax.grad(f_pallas, argnums)(guidance, blur, sp)
+    gr = jax.grad(f_ref, argnums)(guidance, blur, sp)
+    for a, b in zip(gp, gr):
+        _assert_close(a, b, rtol=1e-4)
+
+
+def test_pallas_scan_vjp_fallback_matches_ref(monkeypatch):
+    """CSPN_PALLAS_ADJOINT=0 routes gradients through the jnp-scan VJP
+    fallback; values and gradients must be unchanged."""
+    monkeypatch.setenv("CSPN_PALLAS_ADJOINT", "0")
+    guidance, blur, sparse = _problem(jax.random.key(24), 1, 16, 20)
+    cot = jax.random.normal(jax.random.key(25), blur.shape, jnp.float32)
+
+    def f_pallas(g, d, s):
+        return jnp.vdot(cspn_propagate_pallas(g, d, s, num_iters=8), cot)
+
+    def f_ref(g, d, s):
+        return jnp.vdot(cspn_propagate_ref(g, d, s, num_iters=8), cot)
+
+    gp = jax.grad(f_pallas, (0, 1, 2))(guidance, blur, sparse)
+    gr = jax.grad(f_ref, (0, 1, 2))(guidance, blur, sparse)
+    for a, b in zip(gp, gr):
+        _assert_close(a, b, rtol=1e-4)
 
 
 def test_pallas_vjp_channel_dim_and_value():

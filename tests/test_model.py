@@ -337,15 +337,18 @@ def test_packed_stem_maxpool_equivalence():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.parametrize("packed_tail", [True, False])
 @pytest.mark.parametrize("train", [False, True])
-def test_model_packed_stem_equivalence(train):
+def test_model_packed_stem_equivalence(train, packed_tail):
     """packed_stem=True == packed_stem=False on the full model (f32):
     identical parameter trees, matching outputs and batch-stat updates.
     Exercises the packed conv1 + PackedBatchNorm stem + packed maxpool +
-    the packed-skip path into the final up blocks."""
+    the packed-skip path into the final up blocks (packed_tail=True) AND
+    the depth-to-space fallback where an unpacked block consumes the
+    packed stem (packed_tail=False)."""
     mk = lambda ps: CSPNDepthNet(  # noqa: E731
         modality="rgbd", num_iters=2, cspn_impl="jnp", dtype=jnp.float32,
-        packed_tail=True, packed_stem=ps, **TINY)
+        packed_tail=packed_tail, packed_stem=ps, **TINY)
     x = jax.random.uniform(jax.random.key(7), (2, 32, 48, 4))
     m0, m1 = mk(False), mk(True)
     v0 = m0.init(jax.random.key(1), x, train=False)

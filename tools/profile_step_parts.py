@@ -50,21 +50,23 @@ def main():
 
     t = chain_time(lambda c, p: samp(c, p)[0], (depth, key), args.iters)
     res["sampler_ms"] = round(t * 1e3, 3)
+    print(json.dumps(res), flush=True)
 
     # --- loss + metric sums
     from cspn_monodepth_tpu.train.loss import masked_mse_loss
-    from cspn_monodepth_tpu.train.metrics import MetricSums
+    from cspn_monodepth_tpu.train.metrics import metric_sums_from_batch
 
-    pred = depth[..., None] * 1.01
+    pred = depth * 1.01
 
     def lm(carry, _):
         p = carry
         loss = masked_mse_loss(p, depth)
-        sums = MetricSums.from_batch(p[..., 0], depth)
+        sums = metric_sums_from_batch(p, depth)
         return p + (loss + sums.n_images) * 1e-12, None
 
     t = chain_time(lambda c, p: lm(c, p)[0], pred, args.iters)
     res["loss_metrics_ms"] = round(t * 1e3, 3)
+    print(json.dumps(res), flush=True)
 
     # --- clip + SGD-momentum update at model scale
     from cspn_monodepth_tpu.configs import get_config
