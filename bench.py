@@ -48,6 +48,23 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     n_chain = int(os.environ.get("BENCH_ITERS", "10"))
+
+    # Gradient-parity gate (SURVEY.md §5.2-3): the bench numbers depend on
+    # the Pallas CSPN kernel + its hand adjoint every step, and the CPU
+    # test suite only covers them in interpret mode. Compile-and-assert
+    # parity on this backend BEFORE timing, and embed the errors in the
+    # recorded JSON so every BENCH_r*.json archives the check. Opt out
+    # with BENCH_PARITY=0 (e.g. for quick smoke runs).
+    parity = None
+    if (os.environ.get("BENCH_PARITY", "1") != "0"
+            and jax.default_backend() not in ("cpu",)):
+        from cspn_monodepth_tpu.ops.parity import cspn_parity_check
+
+        # Two norms keep the cold-cache compile cost bounded: 8sum_clamp
+        # is the training default (exercises the hand adjoint the train
+        # numbers depend on), 8sum_abs the absolute-scale control. The
+        # full 3-norm + tiled-kernel check is tools/tpu_parity_check.py.
+        parity = cspn_parity_check(norms=("8sum_clamp", "8sum_abs"), batch=2)
     # BENCH_CONFIG selects any named config (e.g. kitti_1216); the mesh is
     # clamped to the available devices so the KITTI config's 2x4 mesh runs
     # single-chip (spatial sharding itself is covered by tests/CPU mesh).
@@ -170,6 +187,7 @@ def main():
         "dispatch_overhead_ms": round(dispatch_ms, 1),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
+        "parity": parity,
     }))
 
 

@@ -140,10 +140,14 @@ class CSPNDepthNet(nn.Module):
         if self.spatial_mesh is not None:
             from cspn_monodepth_tpu.parallel.halo import cspn_propagate_spatial
 
+            # "jnp" forces the scan slab body; any pallas-flavoured impl
+            # ("auto"/"pallas"/"pallas_tiled") lets the spatial path pick
+            # the fused slab kernel when the halo'd slab fits VMEM.
+            spatial_impl = "jnp" if self.cspn_impl == "jnp" else "auto"
             refined = cspn_propagate_spatial(
                 guidance, blur_depth, sparse_depth,
                 mesh=self.spatial_mesh, num_iters=self.num_iters,
-                norm_type=self.norm_type)
+                norm_type=self.norm_type, impl=spatial_impl)
         else:
             refined = cspn_propagate(
                 guidance, blur_depth, sparse_depth,

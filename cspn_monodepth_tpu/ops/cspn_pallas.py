@@ -19,10 +19,11 @@ working set below VMEM limits and can call this kernel per shard).
 
 The backward pass is a hand-written Pallas adjoint (stash forward +
 gather-formulation adjoint-stencil kernel, default ON — see
-use_pallas_adjoint for the measurement history); shapes beyond its VMEM
-budget fall back to the VJP of the jnp `lax.scan` reference. Both are
-numerically identical to jax.vjp of the reference
-(tests/test_cspn_pallas.py).
+use_pallas_adjoint for the measurement history): whole-plane for shapes
+within the VMEM budget, H-tiled (same recompute-in-halo amortization as
+the tiled forward) beyond it. CSPN_PALLAS_ADJOINT=0 opts out to the VJP
+of the jnp `lax.scan` reference. All paths are numerically identical to
+jax.vjp of the reference (tests/test_cspn_pallas.py).
 
 Layout note: the kernel wants gate planes as (8, H, W) so each plane is a
 natively-tileable (sublane=H, lane=W) 2D array; the public channels-last
@@ -39,7 +40,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cspn_monodepth_tpu.ops.cspn_ref import NEIGHBOR_OFFSETS, cspn_propagate_ref
+from cspn_monodepth_tpu.ops.cspn_ref import (
+    NEIGHBOR_OFFSETS,
+    cspn_propagate_prenorm_ref,
+    cspn_propagate_ref,
+)
 
 
 def _normalize_gates(g, norm_type: str, eps: float = 1e-8):
@@ -54,26 +59,33 @@ def _normalize_gates(g, norm_type: str, eps: float = 1e-8):
     return gates, gate_center
 
 
+def _stencil_step(dpad_ref, gate_center, gates, sp, m, h: int, w: int,
+                  has_sparse: bool):
+    """One stencil iteration's new interior, read from dpad_ref ((h+2, w+2),
+    zero-bordered). Taps are grouped by lane shift (dx): one lane-offset
+    slice per column of the 3x3 stencil, then cheap sublane-offset slices
+    for the rows — 3 lane shifts/iteration instead of 9."""
+    dl = dpad_ref[:, 0:w]          # d[., j-1]
+    dc = dpad_ref[:, 1:w + 1]      # d[., j]
+    dr = dpad_ref[:, 2:w + 2]      # d[., j+1]
+    # NEIGHBOR_OFFSETS order: (-1,-1)(-1,0)(-1,1)(0,-1)(0,1)(1,-1)(1,0)(1,1)
+    new = gate_center * dc[1:h + 1]
+    new += gates[0] * dl[0:h] + gates[3] * dl[1:h + 1] + gates[5] * dl[2:h + 2]
+    new += gates[1] * dc[0:h] + gates[6] * dc[2:h + 2]
+    new += gates[2] * dr[0:h] + gates[4] * dr[1:h + 1] + gates[7] * dr[2:h + 2]
+    if has_sparse:
+        new = (1.0 - m) * new + m * sp
+    return new
+
+
 def _run_stencil(dpad_ref, gate_center, gates, sp, m, h: int, w: int,
                  num_iters: int, has_sparse: bool):
     """num_iters in-VMEM stencil iterations on dpad_ref ((h+2, w+2),
     zero-bordered); gates (8, h, w), gate_center (h, w), sp/m (h, w)."""
 
     def body(_, carry):
-        # Group the 9 taps by lane shift (dx): one lane-offset slice per
-        # column of the 3x3 stencil, then cheap sublane-offset slices for
-        # the rows — 3 lane shifts/iteration instead of 9.
-        dl = dpad_ref[:, 0:w]          # d[., j-1]
-        dc = dpad_ref[:, 1:w + 1]      # d[., j]
-        dr = dpad_ref[:, 2:w + 2]      # d[., j+1]
-        # NEIGHBOR_OFFSETS order: (-1,-1)(-1,0)(-1,1)(0,-1)(0,1)(1,-1)(1,0)(1,1)
-        new = gate_center * dc[1:h + 1]
-        new += gates[0] * dl[0:h] + gates[3] * dl[1:h + 1] + gates[5] * dl[2:h + 2]
-        new += gates[1] * dc[0:h] + gates[6] * dc[2:h + 2]
-        new += gates[2] * dr[0:h] + gates[4] * dr[1:h + 1] + gates[7] * dr[2:h + 2]
-        if has_sparse:
-            new = (1.0 - m) * new + m * sp
-        dpad_ref[1:h + 1, 1:w + 1] = new
+        dpad_ref[1:h + 1, 1:w + 1] = _stencil_step(
+            dpad_ref, gate_center, gates, sp, m, h, w, has_sparse)
         return carry
 
     lax.fori_loop(0, num_iters, body, 0, unroll=False)
@@ -135,6 +147,13 @@ def _cspn_pallas_fwd_impl(guidance, blur, sparse, num_iters: int,
         scratch_shapes=[pltpu.VMEM((h + 2, w + 2), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
+        # The Mosaic stack (stencil temporaries + double-buffered blocks)
+        # runs ~2.3x the 13 explicit planes; under the default 16 MiB
+        # scoped-vmem cap that OOMs from ~140k px up — inside the
+        # dispatcher's 10 MiB/13-plane budget (caught by
+        # tools/vmem_guard_check.py). 32 MiB is known-safe on v5e.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(guid_t.astype(jnp.float32), blur.astype(jnp.float32),
       sparse.astype(jnp.float32))
@@ -390,7 +409,7 @@ def _cspn_pallas_stash_fwd(guidance, blur, sparse, num_iters, norm_type,
         out_specs=[
             pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, hp, wp), jnp.float32),
@@ -405,6 +424,8 @@ def _cspn_pallas_stash_fwd(guidance, blur, sparse, num_iters, norm_type,
             flops=b * hp * wp * num_iters * 19,
             bytes_accessed=4 * b * hp * wp * (11 + num_iters),
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(guid_t, blur_p, sp_p)
     return out[:, :h, :w], stash
@@ -425,15 +446,15 @@ def _cspn_pallas_bwd_impl(guidance, sparse, stash, g_out, num_iters,
         kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # guid (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),       # guid (manual DMA)
             pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),       # stash
+            pl.BlockSpec(memory_space=pl.ANY),       # stash
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # dguid (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),       # dguid (manual DMA)
             pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
@@ -653,9 +674,9 @@ def _tiled_launch(gates9_pad, d, sp_pad, *, iters, k, tile_h, has_sparse,
         kernel,
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, tile_h, w), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
@@ -677,25 +698,11 @@ def _tiled_launch(gates9_pad, d, sp_pad, *, iters, k, tile_h, has_sparse,
     )(gates9_pad, d_pad, sp_pad)
 
 
-def _cspn_pallas_tiled_fwd_impl(guidance, blur, sparse, num_iters: int,
-                                norm_type: str, has_sparse: bool,
-                                interpret: bool, halo_k: int, tile_h: int):
-    b, h, w, _ = guidance.shape
-    k = min(halo_k, num_iters)
-    ht = -(-h // tile_h) * tile_h           # round H up to a tile multiple
-    # Mosaic requires DMA slices of tiled HBM memrefs to be lane-aligned:
-    # pad W to a multiple of 128. Zero gates keep the pad columns at zero
-    # through every iteration — identical to the global zero border.
-    wp = -(-w // 128) * 128
-    if wp != w:
-        guidance = jnp.pad(guidance, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
-        blur = jnp.pad(blur, ((0, 0), (0, 0), (0, wp - w)))
-        sparse = jnp.pad(sparse, ((0, 0), (0, 0), (0, wp - w)))
-
-    # Prenormalize once (pointwise, XLA-fused); transpose to plane-major and
-    # zero-pad rows: [bottom-fill to Ht] + [k halo top/bottom]. Zero gates
-    # (including the center) keep every pad row at exactly 0 through all
-    # iterations — identical to the unsharded op's per-iteration zero pad.
+def _prenorm_gates9(guidance, norm_type: str):
+    """(B, H, W, 8) raw guidance -> (B, 9, H, W) prenormalized
+    [center, 8 neighbors] gates. Pointwise per pixel, XLA-fused — also the
+    function whose jax.vjp supplies the normalization chain rule for the
+    tiled adjoint."""
     g = jnp.moveaxis(guidance.astype(jnp.float32), -1, 1)  # (B, 8, H, W)
     if norm_type == "8sum_abs":
         g = jnp.abs(g)
@@ -703,26 +710,463 @@ def _cspn_pallas_tiled_fwd_impl(guidance, blur, sparse, num_iters: int,
     floor = 1.0 if norm_type == "8sum_clamp" else 1e-8
     gates = g / jnp.maximum(abs_sum, floor)
     gate_center = 1.0 - jnp.sum(gates, axis=1, keepdims=True)
-    gates9 = jnp.concatenate([gate_center, gates], axis=1)
+    return jnp.concatenate([gate_center, gates], axis=1)
+
+
+def _tiled_rounds(num_iters: int, k: int) -> list[int]:
+    rounds = [k] * (num_iters // k)
+    if num_iters % k:
+        rounds.append(num_iters % k)
+    return rounds
+
+
+def _tiled_pad_inputs(guidance, blur, sparse, norm_type, has_sparse, k,
+                      tile_h):
+    """Shared fwd/bwd preprocessing: W-pad to a lane multiple, prenormalize
+    gates, row-pad gates/sparse with [k halo top] + [bottom-fill + k halo].
+
+    Returns (gates9_pad, d0 (B,Ht,W) anchored, sp_pad, guid_wp, h, ht, wp).
+    Zero gates (including the center) keep every pad row/column at exactly
+    0 through all iterations — identical to the unsharded op's
+    per-iteration zero pad.
+    """
+    b, h, w, _ = guidance.shape
+    ht = -(-h // tile_h) * tile_h           # round H up to a tile multiple
+    # Mosaic requires DMA slices of tiled HBM memrefs to be lane-aligned:
+    # pad W to a multiple of 128.
+    wp = -(-w // 128) * 128
+    if wp != w:
+        guidance = jnp.pad(guidance, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+        blur = jnp.pad(blur, ((0, 0), (0, 0), (0, wp - w)))
+        sparse = jnp.pad(sparse, ((0, 0), (0, 0), (0, wp - w)))
+
+    gates9 = _prenorm_gates9(guidance, norm_type)
     gates9_pad = jnp.pad(gates9, ((0, 0), (0, 0), (k, ht - h + k), (0, 0)))
 
     d = blur.astype(jnp.float32)
-    sp_pad = jnp.zeros((b, ht + 2 * k, w), jnp.float32)
+    sp_pad = jnp.zeros((b, ht + 2 * k, wp), jnp.float32)
     if has_sparse:
         sp = sparse.astype(jnp.float32)
         m = (sp > 0).astype(jnp.float32)
         d = (1.0 - m) * d + m * sp          # anchor d^0 (matches jnp ref)
         sp_pad = jnp.pad(sp, ((0, 0), (k, ht - h + k), (0, 0)))
     d = jnp.pad(d, ((0, 0), (0, ht - h), (0, 0)))
+    return gates9_pad, d, sp_pad, guidance, h, ht, wp
 
-    rounds = [k] * (num_iters // k)
-    if num_iters % k:
-        rounds.append(num_iters % k)
-    for r in rounds:
+
+def _cspn_pallas_tiled_fwd_impl(guidance, blur, sparse, num_iters: int,
+                                norm_type: str, has_sparse: bool,
+                                interpret: bool, halo_k: int, tile_h: int):
+    k = min(halo_k, num_iters)
+    gates9_pad, d, sp_pad, _, h, _, _ = _tiled_pad_inputs(
+        guidance, blur, sparse, norm_type, has_sparse, k, tile_h)
+    for r in _tiled_rounds(num_iters, k):
         d = _tiled_launch(gates9_pad, d, sp_pad, iters=r, k=k,
                           tile_h=tile_h, has_sparse=has_sparse,
                           interpret=interpret)
-    return d[:, :h, :w]
+    return d[:, :h, :blur.shape[-1]]
+
+
+# --------------------------------------------------------------------------
+# Tiled stash forward + tiled adjoint (training at KITTI-class shapes).
+#
+# The whole-plane hand adjoint (above) is limited by its VMEM plane budget
+# (_bwd_fits_vmem): at KITTI 1216x352 it used to fall back to the jnp scan
+# VJP — the same ~T x 11-plane HBM traffic the NYU adjoint eliminated.
+# This path removes that cliff by tiling the adjoint along H with the same
+# recompute-in-halo amortization as the forward:
+#
+#   * forward: a stash variant of the tiled kernel additionally writes, at
+#     every iteration t, each tile's interior +-1-row slab of d^t to an HBM
+#     stash (laid out per (b, t, tile) so the backward reads are aligned).
+#   * backward: a Python loop over the SAME rounds in reverse; each launch
+#     DMAs a k-halo'd lambda slab, streams the d^t slabs back from the
+#     stash, runs `iters` reverse iterations of the adjoint gather stencil
+#     (lambda contamination shrinks inward exactly like the forward halo),
+#     and accumulates the gate/center/sparse gradients on tile interiors —
+#     accumulators live in HBM across rounds via input_output_aliases.
+#   * the affinity-normalization chain rule is pointwise, so it runs as
+#     plain XLA ops afterwards: jax.vjp of _prenorm_gates9 applied to the
+#     accumulated [d gate_center, d gates] cotangents.
+#
+# HBM traffic ~ rounds x (9 gates + 16 dG + 2 lambda) + T stash planes vs
+# the scan VJP's ~2T x 11 planes (rematerialized forward + backward).
+# Gradients match jax.vjp of the jnp reference (tests/test_cspn_pallas.py).
+# --------------------------------------------------------------------------
+
+
+def _cspn_tiled_stash_kernel(gates9_ref, d_ref, sp_ref, stash_in_ref,
+                             out_ref, stash_ref,
+                             g_vmem, d_vmem, sp_vmem, dpad_ref, dcur_ref,
+                             sem_g, sem_d, sem_sp, sem_st, *,
+                             iters: int, t0: int, k: int, tile_h: int,
+                             w: int, has_sparse: bool):
+    """Like _cspn_tiled_kernel, but stashes each iteration's starting depth:
+    stash[b, t0+j, tile, :tile_h+2] = d^{t0+j} rows
+    [interior-1, interior+tile_h+1).
+
+    Those rows sit at slab distance >= k - j >= 1 from the slab edge when
+    iteration j starts, so they are uncontaminated. stash_in_ref is the
+    aliased input buffer (earlier rounds' writes persist through it).
+    The stash plane is tile_h + 8 rows (Mosaic DMA slices must be
+    sublane-aligned; the last 6 rows are zeroed, never read).
+    """
+    del stash_in_ref
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    slab = tile_h + 2 * k
+    row0 = t * tile_h
+
+    cp_g = pltpu.make_async_copy(
+        gates9_ref.at[b, :, pl.ds(row0, slab), :], g_vmem, sem_g)
+    cp_d = pltpu.make_async_copy(
+        d_ref.at[b, pl.ds(row0, slab), :], d_vmem, sem_d)
+    cp_g.start()
+    cp_d.start()
+    if has_sparse:
+        cp_sp = pltpu.make_async_copy(
+            sp_ref.at[b, pl.ds(row0, slab), :], sp_vmem, sem_sp)
+        cp_sp.start()
+        cp_sp.wait()
+    cp_g.wait()
+    cp_d.wait()
+
+    gates9 = g_vmem[...]
+    gate_center, gates = gates9[0], gates9[1:]
+    sp = m = None
+    if has_sparse:
+        sp = sp_vmem[...]
+        m = (sp > 0).astype(jnp.float32)
+
+    dpad_ref[...] = jnp.zeros((slab + 2, w + 2), jnp.float32)
+    dpad_ref[1:slab + 1, 1:w + 1] = d_vmem[...]
+    dcur_ref[...] = jnp.zeros((tile_h + 8, w), jnp.float32)
+
+    def body(j, carry):
+        # Stage this iteration's d^t slab and DMA it out while the stencil
+        # computes; wait before dcur is overwritten next iteration.
+        dcur_ref[0:tile_h + 2] = dpad_ref[k:k + tile_h + 2, 1:w + 1]
+        cp = pltpu.make_async_copy(dcur_ref, stash_ref.at[b, t0 + j, t],
+                                   sem_st)
+        cp.start()
+        new = _stencil_step(dpad_ref, gate_center, gates, sp, m, slab, w,
+                            has_sparse)
+        cp.wait()
+        dpad_ref[1:slab + 1, 1:w + 1] = new
+        return carry
+
+    lax.fori_loop(0, iters, body, 0, unroll=False)
+    out_ref[0] = dpad_ref[1 + k:1 + k + tile_h, 1:w + 1]
+
+
+def _tiled_stash_launch(gates9_pad, d, sp_pad, stash, *, iters, t0, k,
+                        tile_h, has_sparse, interpret):
+    b, ht, w = d.shape
+    n_tiles = ht // tile_h
+    slab = tile_h + 2 * k
+    d_pad = jnp.pad(d, ((0, 0), (k, k), (0, 0)))
+
+    kernel = functools.partial(
+        _cspn_tiled_stash_kernel, iters=iters, t0=t0, k=k, tile_h=tile_h,
+        w=w, has_sparse=has_sparse)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=[
+            pl.BlockSpec((1, tile_h, w), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, ht, w), jnp.float32),
+            jax.ShapeDtypeStruct(stash.shape, jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((9, slab, w), jnp.float32),
+            pltpu.VMEM((slab, w), jnp.float32),
+            pltpu.VMEM((slab, w), jnp.float32),
+            pltpu.VMEM((slab + 2, w + 2), jnp.float32),
+            pltpu.VMEM((tile_h + 8, w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={3: 1},
+        cost_estimate=pl.CostEstimate(
+            flops=b * ht * w * iters * 19,
+            bytes_accessed=4 * b * w * (9 * n_tiles * slab + 2 * ht
+                                        + iters * n_tiles * (tile_h + 2)),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(gates9_pad, d_pad, sp_pad, stash)
+
+
+def pick_tile_h_bwd(h: int, w: int, halo_k: int,
+                    vmem_budget_bytes: int = 12 * 1024 * 1024) -> int:
+    """Tile height for the tiled adjoint (shared by its stash forward).
+
+    Explicit scratch ≈ 34*tile_h + 40*k rows of (w_padded + 2) f32 lanes
+    (gates slab x9 + padded gates x8 + lambda/sparse slabs + padded
+    lambda/d planes + 8-plane gradient accumulator + small planes), plus
+    ~30% Mosaic stack temporaries — budgeted against 12 MiB under the
+    raised 32 MiB scoped-vmem cap. Multiple of 8 (output block sublane
+    constraint)."""
+    wp = -(-w // 128) * 128
+    rows = vmem_budget_bytes // (4 * (wp + 2))
+    tile = (rows - 40 * halo_k - 24) // 34 // 8 * 8
+    return int(max(8, min(tile, -(-h // 8) * 8)))
+
+
+def _cspn_tiled_stash_fwd_impl(guidance, blur, sparse, num_iters, norm_type,
+                               has_sparse, interpret, halo_k):
+    k = min(halo_k, num_iters)
+    tile_h = pick_tile_h_bwd(blur.shape[1], blur.shape[-1], k)
+    gates9_pad, d, sp_pad, _, h, ht, wp = _tiled_pad_inputs(
+        guidance, blur, sparse, norm_type, has_sparse, k, tile_h)
+    n_tiles = ht // tile_h
+    # One zero-fill pass (rows never written are the global-border halos,
+    # which must read as the zero padding).
+    stash = jnp.zeros((blur.shape[0], num_iters, n_tiles, tile_h + 8, wp),
+                      jnp.float32)
+    t0 = 0
+    for r in _tiled_rounds(num_iters, k):
+        d, stash = _tiled_stash_launch(
+            gates9_pad, d, sp_pad, stash, iters=r, t0=t0, k=k,
+            tile_h=tile_h, has_sparse=has_sparse, interpret=interpret)
+        t0 += r
+    return d[:, :h, :blur.shape[-1]], stash
+
+
+def _cspn_tiled_bwd_kernel(gates9_ref, sp_ref, lam_ref, stash_ref,
+                           dgi_ref, g0i_ref, dspi_ref,
+                           lamo_ref, dgo_ref, g0o_ref, dspo_ref,
+                           g_vmem, gpad_vmem, sp_vmem, lam_vmem, upad,
+                           dcur_ref, dpad2, dg_vmem, g0_vmem, dsp_vmem,
+                           sem_g, sem_l, sem_sp, sem_d, sem_a, sem_o, *,
+                           iters: int, t0: int, k: int, tile_h: int,
+                           w: int, has_sparse: bool):
+    """Adjoint of `iters` propagation iterations [t0, t0+iters) for one
+    (batch, tile) program.
+
+    lam_ref (B, Ht+2k, W): k-halo'd dL/d d^{t0+iters}; the reverse sweep's
+    contamination shrinks inward 1 row/iteration, so the tile interior
+    stays valid through all `iters` <= k steps (mirror of the forward
+    recompute-in-halo argument). Gate/center/sparse gradients accumulate
+    on tile interiors only, into HBM accumulators that alias their inputs
+    (dgi/g0i/dspi -> dgo/g0o/dspo) so they persist across rounds.
+
+    The adjoint stencil is the pure GATHER over iteration-invariant
+    zero-padded gate planes (same formulation as _cspn_bwd_kernel):
+        lam'(j) = g0(j) lam_u(j) + sum_k (g_k lam_u)(j - off_k).
+    """
+    del dgi_ref, g0i_ref, dspi_ref        # aliased to the output refs
+    b = pl.program_id(0)
+    tl = pl.program_id(1)
+    slab = tile_h + 2 * k
+    row0 = tl * tile_h
+
+    cp_g = pltpu.make_async_copy(
+        gates9_ref.at[b, :, pl.ds(row0, slab), :], g_vmem, sem_g)
+    cp_l = pltpu.make_async_copy(
+        lam_ref.at[b, pl.ds(row0, slab), :], lam_vmem, sem_l)
+    cp_dg = pltpu.make_async_copy(
+        dgo_ref.at[b, :, pl.ds(row0, tile_h), :], dg_vmem, sem_a)
+    cp_g0 = pltpu.make_async_copy(
+        g0o_ref.at[b, pl.ds(row0, tile_h), :], g0_vmem, sem_o)
+    cp_g.start()
+    cp_l.start()
+    cp_dg.start()
+    cp_g0.start()
+    if has_sparse:
+        cp_sp = pltpu.make_async_copy(
+            sp_ref.at[b, pl.ds(row0, slab), :], sp_vmem, sem_sp)
+        cp_dsp = pltpu.make_async_copy(
+            dspo_ref.at[b, pl.ds(row0, tile_h), :], dsp_vmem, sem_d)
+        cp_sp.start()
+        cp_dsp.start()
+        cp_sp.wait()
+        cp_dsp.wait()
+    cp_g.wait()
+    cp_l.wait()
+    cp_dg.wait()
+    cp_g0.wait()
+
+    om = None
+    if has_sparse:
+        om = 1.0 - (sp_vmem[...] > 0).astype(jnp.float32)
+
+    gpad_vmem[...] = jnp.zeros((8, slab + 2, w + 2), jnp.float32)
+    for kk in range(8):
+        gpad_vmem[kk, 1:slab + 1, 1:w + 1] = g_vmem[kk + 1]
+    upad[...] = jnp.zeros((slab + 2, w + 2), jnp.float32)
+    dpad2[...] = jnp.zeros((tile_h + 2, w + 2), jnp.float32)
+
+    def body(i, carry):
+        j = iters - 1 - i
+        cp_d = pltpu.make_async_copy(
+            stash_ref.at[b, t0 + j, tl], dcur_ref, sem_d)
+        cp_d.start()
+        lam = lam_vmem[...]
+        if has_sparse:
+            lam_u = om * lam
+            dsp_vmem[...] += (lam - lam_u)[k:k + tile_h]
+        else:
+            lam_u = lam
+        upad[1:slab + 1, 1:w + 1] = lam_u
+        cp_d.wait()
+        d = dcur_ref[0:tile_h + 2]          # d^{t0+j}, rows interior +-1
+        lam_u_int = lam_u[k:k + tile_h]
+        g0_vmem[...] += lam_u_int * d[1:tile_h + 1]
+        dpad2[0:tile_h + 2, 1:w + 1] = d
+        acc = g_vmem[0] * lam_u
+        for kk, (dy, dx) in enumerate(NEIGHBOR_OFFSETS):
+            dg_vmem[kk] += lam_u_int * dpad2[1 + dy:1 + dy + tile_h,
+                                             1 + dx:1 + dx + w]
+            # Gather term (g_{k2} lam_u)(j + (dy, dx)) for the neighbor k2
+            # with off_{k2} = (-dy, -dx) — the offset set is symmetric, so
+            # looping all 8 (dy, dx) covers every k2 exactly once.
+            k2 = NEIGHBOR_OFFSETS.index((-dy, -dx))
+            acc += (gpad_vmem[k2, 1 + dy:1 + dy + slab, 1 + dx:1 + dx + w]
+                    * upad[1 + dy:1 + dy + slab, 1 + dx:1 + dx + w])
+        lam_vmem[...] = acc
+        return carry
+
+    lax.fori_loop(0, iters, body, 0, unroll=False)
+
+    lamo_ref[0] = lam_vmem[k:k + tile_h]
+    cp1 = pltpu.make_async_copy(
+        dg_vmem, dgo_ref.at[b, :, pl.ds(row0, tile_h), :], sem_a)
+    cp2 = pltpu.make_async_copy(
+        g0_vmem, g0o_ref.at[b, pl.ds(row0, tile_h), :], sem_o)
+    cp1.start()
+    cp2.start()
+    if has_sparse:
+        cp3 = pltpu.make_async_copy(
+            dsp_vmem, dspo_ref.at[b, pl.ds(row0, tile_h), :], sem_sp)
+        cp3.start()
+        cp3.wait()
+    cp1.wait()
+    cp2.wait()
+
+
+def _tiled_bwd_launch(gates9_pad, sp_pad, lam_pad, stash, dg, g0a, dspa, *,
+                      iters, t0, k, tile_h, has_sparse, interpret):
+    b, _, ht, w = dg.shape
+    n_tiles = ht // tile_h
+    slab = tile_h + 2 * k
+
+    kernel = functools.partial(
+        _cspn_tiled_bwd_kernel, iters=iters, t0=t0, k=k, tile_h=tile_h,
+        w=w, has_sparse=has_sparse)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 7,
+        out_specs=[
+            pl.BlockSpec((1, tile_h, w), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, ht, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, 8, ht, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, ht, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, ht, w), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((9, slab, w), jnp.float32),       # gates slab
+            pltpu.VMEM((8, slab + 2, w + 2), jnp.float32),  # padded gates
+            pltpu.VMEM((slab, w), jnp.float32),          # sparse slab
+            pltpu.VMEM((slab, w), jnp.float32),          # lambda slab
+            pltpu.VMEM((slab + 2, w + 2), jnp.float32),  # upad (lam_u)
+            pltpu.VMEM((tile_h + 8, w), jnp.float32),    # dcur (d^t rows
+                                                         #   [0, tile_h+2))
+            pltpu.VMEM((tile_h + 2, w + 2), jnp.float32),  # dpad2
+            pltpu.VMEM((8, tile_h, w), jnp.float32),     # dG accumulator
+            pltpu.VMEM((tile_h, w), jnp.float32),        # g0 accumulator
+            pltpu.VMEM((tile_h, w), jnp.float32),        # dsp accumulator
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={4: 1, 5: 2, 6: 3},
+        cost_estimate=pl.CostEstimate(
+            flops=b * ht * w * iters * 40,
+            bytes_accessed=4 * b * w * n_tiles * (
+                (9 + 2) * slab + 18 * tile_h + iters * (tile_h + 2)),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(gates9_pad, sp_pad, lam_pad, stash, dg, g0a, dspa)
+
+
+def _cspn_tiled_adjoint_bwd_impl(guidance, blur, sparse, stash, g_out,
+                                 num_iters, norm_type, has_sparse,
+                                 interpret, halo_k):
+    b, h, w, _ = guidance.shape
+    n_tiles, tile_h = stash.shape[2], stash.shape[3] - 8
+    k = min(halo_k, num_iters)
+    ht = n_tiles * tile_h
+    wp = stash.shape[-1]
+
+    guid_wp = guidance
+    sp_wp = sparse
+    if wp != w:
+        guid_wp = jnp.pad(guidance, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+        sp_wp = jnp.pad(sparse, ((0, 0), (0, 0), (0, wp - w)))
+
+    gates9, vjp_norm = jax.vjp(
+        functools.partial(_prenorm_gates9, norm_type=norm_type), guid_wp)
+    gates9_pad = jnp.pad(gates9, ((0, 0), (0, 0), (k, ht - h + k), (0, 0)))
+    if has_sparse:
+        sp_pad = jnp.pad(sp_wp.astype(jnp.float32),
+                         ((0, 0), (k, ht - h + k), (0, 0)))
+    else:
+        sp_pad = jnp.zeros((b, ht + 2 * k, wp), jnp.float32)
+
+    lam = jnp.pad(g_out.astype(jnp.float32),
+                  ((0, 0), (0, ht - h), (0, wp - w)))
+    dg = jnp.zeros((b, 8, ht, wp), jnp.float32)
+    g0a = jnp.zeros((b, ht, wp), jnp.float32)
+    dspa = jnp.zeros((b, ht, wp), jnp.float32)
+
+    rounds = _tiled_rounds(num_iters, k)
+    t0s = []
+    acc = 0
+    for r in rounds:
+        t0s.append(acc)
+        acc += r
+    for r, t0 in reversed(list(zip(rounds, t0s))):
+        lam_pad = jnp.pad(lam, ((0, 0), (k, k), (0, 0)))
+        lam, dg, g0a, dspa = _tiled_bwd_launch(
+            gates9_pad, sp_pad, lam_pad, stash, dg, g0a, dspa,
+            iters=r, t0=t0, k=k, tile_h=tile_h, has_sparse=has_sparse,
+            interpret=interpret)
+
+    lam0 = lam[:, :h, :w]                       # dL/d d^0 (anchored)
+    # Pointwise normalization chain rule via XLA.
+    dgates9 = jnp.concatenate([g0a[:, None], dg], axis=1)[:, :, :h]
+    (d_guid,) = vjp_norm(dgates9)
+    d_guid = d_guid[:, :, :w] if wp != w else d_guid
+    if has_sparse:
+        m = (sparse > 0).astype(jnp.float32)
+        d_blur = (1.0 - m) * lam0
+        d_sparse = dspa[:, :h, :w] + m * lam0
+    else:
+        d_blur = lam0
+        d_sparse = jnp.zeros_like(sparse)
+    return (d_guid.astype(guidance.dtype), d_blur.astype(blur.dtype),
+            d_sparse.astype(sparse.dtype))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
@@ -735,14 +1179,23 @@ def _cspn_pallas_tiled(guidance, blur, sparse, num_iters, norm_type,
 
 def _tiled_fwd(guidance, blur, sparse, num_iters, norm_type, has_sparse,
                interpret, halo_k, tile_h):
+    if use_pallas_adjoint():
+        out, stash = _cspn_tiled_stash_fwd_impl(
+            guidance, blur, sparse, num_iters, norm_type, has_sparse,
+            interpret, halo_k)
+        return out, (guidance, blur, sparse, stash)
     out = _cspn_pallas_tiled(guidance, blur, sparse, num_iters, norm_type,
                              has_sparse, interpret, halo_k, tile_h)
-    return out, (guidance, blur, sparse)
+    return out, (guidance, blur, sparse, None)
 
 
 def _tiled_bwd(num_iters, norm_type, has_sparse, interpret, halo_k, tile_h,
                residuals, g_out):
-    guidance, blur, sparse = residuals
+    guidance, blur, sparse, stash = residuals
+    if stash is not None:
+        return _cspn_tiled_adjoint_bwd_impl(
+            guidance, blur, sparse, stash, g_out, num_iters, norm_type,
+            has_sparse, interpret, halo_k)
     return _bwd(num_iters, norm_type, has_sparse, interpret,
                 (guidance, blur, sparse, None), g_out)
 
@@ -799,3 +1252,121 @@ def cspn_propagate_pallas_tiled(
                              has_sparse, interpret, halo_k, tile_h)
     out = out.astype(d0.dtype)
     return out[..., None] if squeeze else out
+
+
+# --------------------------------------------------------------------------
+# Prenormalized fused kernel for the spatially-sharded path.
+#
+# parallel/halo.py normalizes affinities per shard (pointwise), exchanges
+# gate/sparse halos once and depth halos every k iterations, then runs k
+# stencil iterations on an (H_loc + 2k)-row slab. Sharding shrinks the
+# per-device planes back under the whole-plane VMEM budget, which is
+# exactly when the fused kernel wins — so the slab body dispatches here
+# instead of the jnp lax.scan whenever the slab fits VMEM
+# (SURVEY.md §2.2 N2+N5 composition).
+#
+# Contract differs from the public kernels: gates arrive pre-normalized as
+# (B, 9, H, W) (channel 0 = center), and d^0 is NOT anchored on entry (the
+# caller anchors once; anchoring is idempotent across rounds). Matches
+# cspn_propagate_prenorm_ref, whose VJP is the backward rule.
+# --------------------------------------------------------------------------
+
+
+def _cspn_prenorm_kernel(gates9_ref, d_ref, sp_ref, out_ref, dpad_ref, *,
+                         num_iters: int, has_sparse: bool):
+    """One batch element: gates9 (9, H, W) prenormalized, d/sp/out (H, W)."""
+    h, w = d_ref.shape[1:]
+    gates9 = gates9_ref[0]
+    gate_center, gates = gates9[0], gates9[1:]
+    sp = m = None
+    if has_sparse:
+        sp = sp_ref[0]
+        m = (sp > 0).astype(jnp.float32)
+    dpad_ref[...] = jnp.zeros((h + 2, w + 2), jnp.float32)
+    dpad_ref[1:h + 1, 1:w + 1] = d_ref[0]
+    _run_stencil(dpad_ref, gate_center, gates, sp, m, h, w, num_iters,
+                 has_sparse)
+    out_ref[0] = dpad_ref[1:h + 1, 1:w + 1]
+
+
+def _cspn_prenorm_fwd_impl(gates9, d0, sp, num_iters: int, has_sparse: bool,
+                           interpret: bool):
+    b, _, h, w = gates9.shape
+    kernel = functools.partial(
+        _cspn_prenorm_kernel, num_iters=num_iters, has_sparse=has_sparse)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 9, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((h + 2, w + 2), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=b * h * w * num_iters * 19,
+            bytes_accessed=4 * b * h * w * 12, transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(gates9.astype(jnp.float32), d0.astype(jnp.float32),
+      sp.astype(jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _cspn_prenorm(gates9, d0, sp, num_iters, has_sparse, interpret):
+    return _cspn_prenorm_fwd_impl(gates9, d0, sp, num_iters, has_sparse,
+                                  interpret)
+
+
+def _prenorm_fwd(gates9, d0, sp, num_iters, has_sparse, interpret):
+    out = _cspn_prenorm(gates9, d0, sp, num_iters, has_sparse, interpret)
+    return out, (gates9, d0, sp)
+
+
+def _prenorm_bwd(num_iters, has_sparse, interpret, residuals, g_out):
+    gates9, d0, sp = residuals
+
+    def ref(g9, d, s):
+        return cspn_propagate_prenorm_ref(
+            g9, d, s if has_sparse else None, num_iters=num_iters)
+
+    _, vjp = jax.vjp(ref, gates9, d0, sp)
+    dg9, dd, dsp = vjp(g_out)
+    if not has_sparse:
+        dsp = jnp.zeros_like(sp)
+    return dg9, dd, dsp
+
+
+_cspn_prenorm.defvjp(_prenorm_fwd, _prenorm_bwd)
+
+
+# VMEM use of the prenorm kernel: 9 gate planes + d + sp + dpad + the
+# double-buffered in/out blocks and Mosaic stencil temporaries — budget as
+# ~16 lane-padded planes against a conservative 10 MiB.
+def prenorm_fits_vmem(h: int, w: int) -> bool:
+    wp = -(-w // 128) * 128
+    return 16 * 4 * h * wp <= 10 * 1024 * 1024
+
+
+def cspn_propagate_prenorm_pallas(
+    gates9: jax.Array,
+    d0: jax.Array,
+    sparse_depth: jax.Array | None = None,
+    *,
+    num_iters: int,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused prenormalized propagation (see cspn_propagate_prenorm_ref)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    has_sparse = sparse_depth is not None
+    sp = sparse_depth if has_sparse else jnp.zeros_like(d0)
+    out = _cspn_prenorm(gates9, d0, sp, num_iters, has_sparse, interpret)
+    return out.astype(d0.dtype)

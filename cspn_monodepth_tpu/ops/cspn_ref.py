@@ -135,3 +135,45 @@ def cspn_propagate_ref(
 
     d_final, _ = lax.scan(body, d0, None, length=num_iters)
     return d_final[..., None] if squeeze else d_final
+
+
+def cspn_propagate_prenorm_ref(
+    gates9: jax.Array,
+    d0: jax.Array,
+    sparse_depth: jax.Array | None = None,
+    *,
+    num_iters: int,
+) -> jax.Array:
+    """Propagation with PRE-normalized gates and NO d^0 anchoring.
+
+    The building block of the spatially-sharded halo-exchange path
+    (parallel/halo.py): normalization is pointwise so it runs per shard
+    before the halo exchange, and d^0 arrives already anchored from the
+    caller (anchoring is idempotent across rounds). Semantics otherwise
+    match cspn_propagate_ref's iteration body: zero border padding, anchor
+    replacement after every iteration.
+
+    Args:
+      gates9: (B, 9, H, W) — channel 0 is the center gate, 1..8 the
+        neighbor gates in NEIGHBOR_OFFSETS order.
+      d0: (B, H, W) starting depth.
+      sparse_depth: optional (B, H, W) anchors (0 = no anchor).
+      num_iters: iterations to run.
+    """
+    h, w = d0.shape[-2], d0.shape[-1]
+    mask = None
+    if sparse_depth is not None:
+        mask = (sparse_depth > 0).astype(d0.dtype)
+
+    def body(d, _):
+        padded = jnp.pad(d, ((0, 0), (1, 1), (1, 1)))
+        new = gates9[:, 0] * d
+        for k, (dy, dx) in enumerate(NEIGHBOR_OFFSETS):
+            new = new + gates9[:, k + 1] * padded[:, 1 + dy:1 + dy + h,
+                                                  1 + dx:1 + dx + w]
+        if mask is not None:
+            new = (1.0 - mask) * new + mask * sparse_depth
+        return new, None
+
+    d_final, _ = lax.scan(body, d0, None, length=num_iters)
+    return d_final

@@ -23,8 +23,15 @@ from jax import lax
 
 def _monotone_bits(x: jax.Array) -> jax.Array:
     """Order-preserving uint32 key for f32 values (IEEE total order):
-    flip the sign bit for non-negatives, all bits for negatives."""
+    flip the sign bit for non-negatives, all bits for negatives.
+
+    -0.0 is normalized to +0.0 first (at the bit level, so no float
+    simplification can fold it away) so the key treats them as equal,
+    matching the float comparison this key replaces (IEEE total order
+    would otherwise rank -0.0 below +0.0 — a latent tie-semantics
+    difference if a caller's scores ever produce -0.0)."""
     u = lax.bitcast_convert_type(x, jnp.uint32)
+    u = jnp.where(u == jnp.uint32(0x80000000), jnp.uint32(0), u)
     mask = jnp.where((u >> 31) == 1,
                      jnp.uint32(0xFFFFFFFF), jnp.uint32(0x80000000))
     return u ^ mask

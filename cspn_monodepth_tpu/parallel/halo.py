@@ -19,19 +19,27 @@ matches the op's zero-padding at the global image border.
 
 The whole thing is differentiable: XLA transposes ppermute to the inverted
 permutation in the backward pass, and the body is the jnp reference body.
+
+Slab execution (SURVEY.md §2.2 N2+N5 composition): sharding shrinks the
+per-device planes back under the whole-plane VMEM budget — exactly when
+the fused Pallas kernel wins — so the k-iteration slab body dispatches to
+the prenormalized fused kernel (`cspn_propagate_prenorm_pallas`) whenever
+the slab fits VMEM, falling back to the jnp `lax.scan` body otherwise
+(`impl="auto"`; both paths equivalence-tested in tests/test_sharding.py).
 """
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from cspn_monodepth_tpu.ops.cspn_ref import NEIGHBOR_OFFSETS, normalize_affinity
+from cspn_monodepth_tpu.ops.cspn_ref import (
+    cspn_propagate_prenorm_ref,
+    normalize_affinity,
+)
 
 
 def _exchange_halo(x: jax.Array, k: int, axis_name: str) -> tuple[jax.Array, jax.Array]:
@@ -48,26 +56,20 @@ def _exchange_halo(x: jax.Array, k: int, axis_name: str) -> tuple[jax.Array, jax
     return from_above, from_below
 
 
-def _propagate_slab(gates9, d, sp, mask, num_iters: int):
+def _propagate_slab(gates9, d, sp, num_iters: int, impl: str):
     """Run num_iters CSPN iterations on a local slab with zero padding.
 
-    gates9: (9, B, H, W) — channel 0 is the center gate, 1..8 the neighbors
-    in NEIGHBOR_OFFSETS order. d/sp/mask: (B, H, W).
+    gates9: (B, 9, H, W) — channel 0 is the center gate, 1..8 the neighbors
+    in NEIGHBOR_OFFSETS order. d/sp: (B, H, W); sp may be None.
     """
-    h, w = d.shape[-2], d.shape[-1]
+    if impl == "pallas":
+        from cspn_monodepth_tpu.ops.cspn_pallas import (
+            cspn_propagate_prenorm_pallas,
+        )
 
-    def body(d, _):
-        padded = jnp.pad(d, ((0, 0), (1, 1), (1, 1)))
-        new = gates9[0] * d
-        for i, (dy, dx) in enumerate(NEIGHBOR_OFFSETS):
-            new = new + gates9[i + 1] * padded[:, 1 + dy:1 + dy + h,
-                                               1 + dx:1 + dx + w]
-        if sp is not None:
-            new = (1.0 - mask) * new + mask * sp
-        return new, None
-
-    d_final, _ = lax.scan(body, d, None, length=num_iters)
-    return d_final
+        return cspn_propagate_prenorm_pallas(gates9, d, sp,
+                                             num_iters=num_iters)
+    return cspn_propagate_prenorm_ref(gates9, d, sp, num_iters=num_iters)
 
 
 def cspn_propagate_spatial(
@@ -79,12 +81,16 @@ def cspn_propagate_spatial(
     num_iters: int = 24,
     norm_type: str = "8sum",
     halo_k: int = 4,
+    impl: str = "auto",
 ) -> jax.Array:
     """CSPN propagation with H sharded over the mesh's "spatial" axis.
 
     guidance: (B, H, W, 8); blur/sparse: (B, H, W) or (B, H, W, 1).
     Output matches `cspn_propagate_ref` exactly (tested in
     tests/test_sharding.py) while running on B/"data" x H/"spatial" shards.
+
+    impl: "auto" (fused Pallas slab kernel when the halo'd slab fits its
+    VMEM budget, jnp lax.scan otherwise), "pallas", or "jnp".
     """
     squeeze = blur_depth.ndim == 4
     d0 = blur_depth[..., 0] if squeeze else blur_depth
@@ -106,6 +112,17 @@ def cspn_propagate_spatial(
     if num_iters % halo_k:
         rounds.append(num_iters % halo_k)
 
+    if impl == "auto":
+        from cspn_monodepth_tpu.ops.cspn_pallas import prenorm_fits_vmem
+
+        slab_h = h // n_spatial + 2 * halo_k
+        slab_impl = ("pallas" if prenorm_fits_vmem(slab_h, d0.shape[-1])
+                     else "jnp")
+    elif impl in ("pallas", "jnp"):
+        slab_impl = impl
+    else:
+        raise ValueError(f"unknown impl: {impl!r}")
+
     in_specs = (
         P("data", "spatial"),                     # guidance (B,H,W,8)
         P("data", "spatial"),                     # d0
@@ -116,37 +133,33 @@ def cspn_propagate_spatial(
     def sharded(guid, d, sp_):
         # Normalization is pointwise => valid on local shards.
         gate, gate_center = normalize_affinity(guid, norm_type)
-        gates9 = jnp.concatenate([gate_center, gate], axis=-1)
-        gates9 = jnp.moveaxis(gates9, -1, 0)      # (9, B, H_loc, W)
+        gates9 = jnp.concatenate([gate_center, gate], axis=-1)  # (B,H,W,9)
 
         if sp_ is not None:
             mask = (sp_ > 0).astype(d.dtype)
             d = (1.0 - mask) * d + mask * sp_     # anchor d^0 (matches ref)
-        else:
-            mask = None
 
         k = halo_k
-        # Iteration-invariant halos: gates + sparse/mask, exchanged once.
-        g_above, g_below = _exchange_halo(
-            jnp.moveaxis(gates9, 0, 2), k, "spatial")  # (B,k,9? ...) — see below
-        # moveaxis put gates9 as (B, H, 9, W) so dim 1 is H for _exchange_halo
-        gates_slab = jnp.concatenate(
-            [g_above, jnp.moveaxis(gates9, 0, 2), g_below], axis=1)
-        gates_slab = jnp.moveaxis(gates_slab, 2, 0)  # (9, B, H_loc+2k, W)
+        # Iteration-invariant halos: gates + sparse, exchanged once. The
+        # anchor mask is pointwise (sp > 0), so it needs no exchange of its
+        # own: ppermute's zero fill at the global border gives sp = 0 there,
+        # hence mask = 0, matching the unsharded op.
+        g_above, g_below = _exchange_halo(gates9, k, "spatial")
+        gates_slab = jnp.moveaxis(
+            jnp.concatenate([g_above, gates9, g_below], axis=1), -1, 1)
+        # (B, 9, H_loc + 2k, W)
 
         if sp_ is not None:
             sp_above, sp_below = _exchange_halo(sp_, k, "spatial")
             sp_slab = jnp.concatenate([sp_above, sp_, sp_below], axis=1)
-            m_above, m_below = _exchange_halo(mask, k, "spatial")
-            m_slab = jnp.concatenate([m_above, mask, m_below], axis=1)
         else:
-            sp_slab = m_slab = None
+            sp_slab = None
 
         h_loc = d.shape[1]
         for r in rounds:
             d_above, d_below = _exchange_halo(d, k, "spatial")
             slab = jnp.concatenate([d_above, d, d_below], axis=1)
-            slab = _propagate_slab(gates_slab, slab, sp_slab, m_slab, r)
+            slab = _propagate_slab(gates_slab, slab, sp_slab, r, slab_impl)
             d = slab[:, k:k + h_loc]
         return d
 

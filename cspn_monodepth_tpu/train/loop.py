@@ -368,20 +368,34 @@ class Trainer:
         t0 = time.time()
         batches = device_prefetch(
             it, {"valid_image": self._bsh1d, "*": self._bsh})
+        # The first eval_step call pays jit compilation (tens of seconds on
+        # a cold cache); exclude it from the throughput figure by fencing
+        # after batch 0 and counting only the images accumulated after the
+        # fence (one scalar readback, first batch only).
+        n_warm = 0.0
+        t_warm = t0
         for i, batch in enumerate(batches):
             s, pred = self.eval_step(state, batch, rng, self._replicate(i))
             # Accumulate on device only — a per-batch device_get here would
             # serialize host<->device every step (the image count is already
             # in sums.n_images; one readback happens in finalize_metrics).
             sums = sums + s
-            if i == 0 and save_panels and jax.process_index() == 0:
-                self._save_panel(
-                    {k: np.asarray(jax.device_get(v))
-                     for k, v in batch.items()}, pred, epoch)
+            if i == 0:
+                n_warm = float(jax.device_get(sums.n_images))
+                t_warm = time.time()
+                if save_panels and jax.process_index() == 0:
+                    self._save_panel(
+                        {k: np.asarray(jax.device_get(v))
+                         for k, v in batch.items()}, pred, epoch)
         it.close()
         metrics = finalize_metrics(sums)
-        metrics["images_per_sec"] = (
-            metrics["n_images"] / max(time.time() - t0, 1e-9))
+        steady_images = metrics["n_images"] - n_warm
+        if steady_images > 0:
+            metrics["images_per_sec"] = (
+                steady_images / max(time.time() - t_warm, 1e-9))
+        else:                       # single-batch eval: compile-inclusive
+            metrics["images_per_sec"] = (
+                metrics["n_images"] / max(time.time() - t0, 1e-9))
         log("eval " + " ".join(f"{k} {v:.4f}" for k, v in metrics.items()
                                if isinstance(v, float)))
         return metrics

@@ -35,10 +35,12 @@ def test_oracle_parity(num_iters, with_sparse, norm_type):
     got = cspn_propagate_ref(
         guidance, blur, sp, num_iters=num_iters, norm_type=norm_type
     )
+    # np.array(..., copy=True): jax arrays expose read-only buffers, which
+    # torch.from_numpy warns about (non-writable tensor aliasing).
     want = cspn_oracle(
-        torch.from_numpy(np.asarray(guidance)),
-        torch.from_numpy(np.asarray(blur)),
-        torch.from_numpy(np.asarray(sparse)) if with_sparse else None,
+        torch.from_numpy(np.array(guidance)),
+        torch.from_numpy(np.array(blur)),
+        torch.from_numpy(np.array(sparse)) if with_sparse else None,
         num_iters=num_iters,
         norm_type=norm_type,
     )

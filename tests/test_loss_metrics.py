@@ -189,6 +189,26 @@ def test_metric_sums_zeros_identity():
     assert m1 == m2
 
 
+def test_metrics_all_padding_shard_is_finite():
+    """A multihost eval shard can consist entirely of padding images (val
+    set smaller than process_count x batch); finalize must yield finite
+    zeros, not NaN/inf, so the psum'd global result is unaffected."""
+    pred, target = _problem()
+    valid = jnp.asarray([0.0, 0.0])
+    got = finalize_metrics(
+        metric_sums_from_batch(pred, target, valid_image=valid))
+    assert got["n_images"] == 0
+    for k in ("rmse", "mae", "rel", "lg10", "delta1", "irmse", "imae"):
+        assert np.isfinite(got[k]) and got[k] == 0.0, (k, got[k])
+    # And adding the empty shard to a real one changes nothing.
+    real = metric_sums_from_batch(pred, target)
+    empty = metric_sums_from_batch(pred, target, valid_image=valid)
+    m1 = finalize_metrics(real + empty)
+    m2 = finalize_metrics(real)
+    for k in ("rmse", "delta1"):
+        np.testing.assert_allclose(m1[k], m2[k], rtol=1e-6)
+
+
 def test_perfect_prediction():
     t = jnp.asarray(np.random.default_rng(2).uniform(1, 9, (1, 6, 6)),
                     dtype=jnp.float32)

@@ -32,9 +32,10 @@ def _problem(key, b=2, h=32, w=24):
     return guidance, blur, sparse
 
 
+@pytest.mark.parametrize("impl", ["jnp", "pallas"])
 @pytest.mark.parametrize("halo_k", [1, 3, 4])
 @pytest.mark.parametrize("with_sparse", [True, False])
-def test_spatial_sharded_equals_single_device(halo_k, with_sparse):
+def test_spatial_sharded_equals_single_device(halo_k, with_sparse, impl):
     mesh = make_mesh(MeshConfig(data=2, spatial=4))
     guidance, blur, sparse = _problem(jax.random.key(0))
     sp = sparse if with_sparse else None
@@ -46,13 +47,39 @@ def test_spatial_sharded_equals_single_device(halo_k, with_sparse):
     bs = jax.device_put(blur, sh)
     ss = jax.device_put(sparse, sh) if with_sparse else None
     got = cspn_propagate_spatial(
-        gs, bs, ss, mesh=mesh, num_iters=10, halo_k=halo_k)
+        gs, bs, ss, mesh=mesh, num_iters=10, halo_k=halo_k, impl=impl)
 
+    # The fused slab kernel groups stencil taps by lane shift, so its f32
+    # summation order differs from the scan reference — with random signed
+    # gates the propagation is expansive (values reach ~1e3 by iteration
+    # 10), so allow proportionally looser tolerance on the pallas path.
+    tol = 2e-5 if impl == "jnp" else 2e-4
     np.testing.assert_allclose(
-        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+        np.asarray(got), np.asarray(want), rtol=tol, atol=tol)
 
 
-def test_spatial_sharded_grads_match():
+def test_spatial_auto_picks_fused_slab_kernel():
+    """impl="auto" must route VMEM-fitting slabs to the fused kernel
+    (SURVEY.md N2+N5 composition): the jaxpr of a small sharded run
+    contains a pallas_call, and a forced-jnp run does not."""
+    mesh = make_mesh(MeshConfig(data=2, spatial=4))
+    guidance, blur, sparse = _problem(jax.random.key(4))
+
+    def has_pallas(fn, *args):
+        return "pallas_call" in str(jax.make_jaxpr(fn)(*args))
+
+    assert has_pallas(
+        lambda g, d, s: cspn_propagate_spatial(
+            g, d, s, mesh=mesh, num_iters=10, impl="auto"),
+        guidance, blur, sparse)
+    assert not has_pallas(
+        lambda g, d, s: cspn_propagate_spatial(
+            g, d, s, mesh=mesh, num_iters=10, impl="jnp"),
+        guidance, blur, sparse)
+
+
+@pytest.mark.parametrize("impl", ["jnp", "pallas"])
+def test_spatial_sharded_grads_match(impl):
     mesh = make_mesh(MeshConfig(data=2, spatial=4))
     guidance, blur, sparse = _problem(jax.random.key(1), b=2, h=16, w=16)
 
@@ -62,16 +89,19 @@ def test_spatial_sharded_grads_match():
     def loss_sharded(g, d):
         return jnp.sum(
             cspn_propagate_spatial(
-                g, d, sparse, mesh=mesh, num_iters=6, halo_k=2) ** 2)
+                g, d, sparse, mesh=mesh, num_iters=6, halo_k=2,
+                impl=impl) ** 2)
 
     gg1, gd1 = jax.grad(loss_single, argnums=(0, 1))(guidance, blur)
     sh = batch_sharding(mesh, spatial_dim=1)
     gg2, gd2 = jax.jit(jax.grad(loss_sharded, argnums=(0, 1)))(
         jax.device_put(guidance, sh), jax.device_put(blur, sh))
+    # pallas: looser for the kernel's different f32 summation order.
+    rtol, atol = (1e-4, 1e-5) if impl == "jnp" else (5e-4, 1e-4)
     np.testing.assert_allclose(np.asarray(gg2), np.asarray(gg1),
-                               rtol=1e-4, atol=1e-5)
+                               rtol=rtol, atol=atol)
     np.testing.assert_allclose(np.asarray(gd2), np.asarray(gd1),
-                               rtol=1e-4, atol=1e-5)
+                               rtol=rtol, atol=atol)
 
 
 def test_dp_loss_and_grad_match_single_device():
@@ -176,9 +206,10 @@ def _count_ppermutes(fn, *args):
 def test_halo_exchange_count_matches_amortization_math(halo_k, num_iters):
     """Keep the N2 cost model honest (parallel/halo.py:9-16): a k-amortized
     run must exchange depth halos exactly ceil(T/k) times, plus ONE upfront
-    exchange each for gates, sparse and mask (iteration-invariant). Each
-    _exchange_halo is 2 ppermutes (up + down), so:
-        sparse path:  2 * (3 + ceil(T/k)) ppermutes
+    exchange each for gates and sparse (iteration-invariant; the anchor
+    mask is pointwise (sp > 0) so it is derived from the sparse slab, not
+    exchanged). Each _exchange_halo is 2 ppermutes (up + down), so:
+        sparse path:  2 * (2 + ceil(T/k)) ppermutes
         dense  path:  2 * (1 + ceil(T/k)) ppermutes
     A per-iteration scheme would pay 2*T — the whole point of k-amortization
     is the ceil(T/k) factor, so a regression here is a real perf bug even
@@ -191,7 +222,7 @@ def test_halo_exchange_count_matches_amortization_math(halo_k, num_iters):
         lambda g, d, s: cspn_propagate_spatial(
             g, d, s, mesh=mesh, num_iters=num_iters, halo_k=halo_k),
         guidance, blur, sparse)
-    assert n_sparse == 2 * (3 + rounds), (n_sparse, rounds)
+    assert n_sparse == 2 * (2 + rounds), (n_sparse, rounds)
 
     n_dense = _count_ppermutes(
         lambda g, d: cspn_propagate_spatial(
