@@ -121,6 +121,31 @@ class CSPNDepthNet(nn.Module):
         bg = self.param("guidance_head_bias", nn.initializers.zeros,
                         (8,), jnp.float32)
         kk = jnp.concatenate([kd, kg], axis=-1)
+        bias = jnp.concatenate([bd, bg])
+        if packed and self.spatial_mesh is None:
+            # Packed head -> PLANE-MAJOR (B, 9, H, W) in ONE rearrange:
+            # the CSPN kernel wants plane-major gates, and going through
+            # the channels-last (B, H, W, 9) intermediate costs XLA a
+            # chain of layout copies (~4% of the eval step in the r4
+            # xprof trace). Packed channel order is (py, px, c)
+            # (models/unet.py space_to_depth), so full-res row = 2i + py,
+            # col = 2j + px.
+            from cspn_monodepth_tpu.models.unet import pack_conv_kernel
+
+            heads_p = jax.lax.conv_general_dilated(
+                feat.astype(jnp.float32), pack_conv_kernel(kk), (1, 1),
+                "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            bq, h2, w2, _ = heads_p.shape
+            heads_pm = (heads_p.reshape(bq, h2, w2, 2, 2, 9)
+                        .transpose(0, 5, 1, 3, 2, 4)
+                        .reshape(bq, 9, h, w))
+            heads_pm = heads_pm + bias[None, :, None, None]
+            refined = cspn_propagate(
+                heads_pm[:, 1:], heads_pm[:, 0], sparse_depth,
+                num_iters=self.num_iters, norm_type=self.norm_type,
+                impl=self.cspn_impl, guidance_layout="NCHW")
+            return refined[..., None]
+
         if packed:
             from cspn_monodepth_tpu.models.unet import (
                 depth_to_space, pack_conv_kernel)
@@ -133,7 +158,7 @@ class CSPNDepthNet(nn.Module):
             heads = jax.lax.conv_general_dilated(
                 feat.astype(jnp.float32), kk, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        heads = heads + jnp.concatenate([bd, bg])
+        heads = heads + bias
         blur_depth = heads[..., 0:1]
         guidance = heads[..., 1:9]
 

@@ -353,6 +353,12 @@ class PackedUpProjBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, skip: jax.Array | None = None,
                  train: bool = False, skip_packed: bool = False) -> jax.Array:
+        # NOTE (r4, measured): running this wide conv on a STILL-PACKED
+        # input (pack_conv_kernel of the collapsed kernel, d2s after) was
+        # tried and REVERTED — the (3, 3, 4cin, 8*4ch) routed kernel ran
+        # at ~22 TFLOP/s and the 8x-wider d2s added ~4 ms (NYU eval step
+        # 32.3 -> 40.6 ms). The half-lane input conv below is the faster
+        # real-world option; see docs/ARCHITECTURE.md "kernel design".
         cin = x.shape[-1]
         ch = self.channels
         k1a = self.param("conv1a_up", nn.initializers.lecun_normal(),

@@ -46,15 +46,23 @@ def cspn_propagate(
     num_iters: int = 24,
     norm_type: str = "8sum",
     impl: str = "auto",
+    guidance_layout: str = "NHWC",
 ) -> jax.Array:
     """Refine blur_depth by CSPN propagation. See cspn_propagate_ref.
 
     impl: "auto" (on TPU: whole-plane pallas kernel when the image fits the
     VMEM budget, H-tiled pallas kernel otherwise; jnp on other backends),
     "pallas", "pallas_tiled", or "jnp".
+
+    guidance_layout: "NHWC" (B, H, W, 8) or "NCHW" (B, 8, H, W) —
+    plane-major guidance skips the kernel's entry transpose (the packed
+    head emits it with one rearrange; models/cspn_net.py).
     """
     if impl == "auto":
-        h, w = guidance.shape[1:3]
+        if guidance_layout == "NCHW":
+            h, w = guidance.shape[2:4]
+        else:
+            h, w = guidance.shape[1:3]
         if _on_tpu():
             impl = "pallas" if _fits_vmem(h, w) else "pallas_tiled"
         else:
@@ -65,6 +73,7 @@ def cspn_propagate(
         return cspn_propagate_pallas(
             guidance, blur_depth, sparse_depth,
             num_iters=num_iters, norm_type=norm_type,
+            guidance_layout=guidance_layout,
         )
     if impl == "pallas_tiled":
         from cspn_monodepth_tpu.ops.cspn_pallas import (
@@ -74,8 +83,13 @@ def cspn_propagate(
         return cspn_propagate_pallas_tiled(
             guidance, blur_depth, sparse_depth,
             num_iters=num_iters, norm_type=norm_type,
+            guidance_layout=guidance_layout,
         )
     if impl == "jnp":
+        import jax.numpy as jnp
+
+        if guidance_layout == "NCHW":
+            guidance = jnp.moveaxis(guidance, 1, -1)
         return cspn_propagate_ref(
             guidance, blur_depth, sparse_depth,
             num_iters=num_iters, norm_type=norm_type,

@@ -118,10 +118,13 @@ def _cspn_kernel(guid_ref, blur_ref, sparse_ref, out_ref, dpad_ref, *,
 
 
 def _cspn_pallas_fwd_impl(guidance, blur, sparse, num_iters: int,
-                          norm_type: str, has_sparse: bool, interpret: bool):
-    """guidance: (B, H, W, 8); blur/sparse: (B, H, W) -> (B, H, W)."""
-    b, h, w, _ = guidance.shape
-    guid_t = jnp.moveaxis(guidance, -1, 1)  # (B, 8, H, W)
+                          norm_type: str, has_sparse: bool, interpret: bool,
+                          channels_first: bool = False):
+    """guidance: (B, H, W, 8) — or (B, 8, H, W) when channels_first, which
+    skips the entry transpose (the packed head can emit plane-major
+    directly); blur/sparse: (B, H, W) -> (B, H, W)."""
+    b, h, w = blur.shape
+    guid_t = guidance if channels_first else jnp.moveaxis(guidance, -1, 1)
 
     kernel = functools.partial(
         _cspn_kernel, num_iters=num_iters, norm_type=norm_type,
@@ -383,12 +386,13 @@ def _pad_hw(x, hp, wp):
 
 
 def _cspn_pallas_stash_fwd(guidance, blur, sparse, num_iters, norm_type,
-                           has_sparse, interpret):
+                           has_sparse, interpret, channels_first=False):
     """Run the stash forward; returns (out (B,H,W), stash (B,T,Hp,Wp))."""
-    b, h, w, _ = guidance.shape
+    b, h, w = blur.shape
     hp = -(-h // 8) * 8
     wp = -(-w // 128) * 128
-    guid_t = _pad_hw(jnp.moveaxis(guidance, -1, 1), hp, wp).astype(jnp.float32)
+    guid_t = guidance if channels_first else jnp.moveaxis(guidance, -1, 1)
+    guid_t = _pad_hw(guid_t, hp, wp).astype(jnp.float32)
     blur_p = _pad_hw(blur, hp, wp).astype(jnp.float32)
     sp_p = _pad_hw(sparse, hp, wp).astype(jnp.float32)
 
@@ -432,10 +436,12 @@ def _cspn_pallas_stash_fwd(guidance, blur, sparse, num_iters, norm_type,
 
 
 def _cspn_pallas_bwd_impl(guidance, sparse, stash, g_out, num_iters,
-                          norm_type, has_sparse, interpret):
-    b, h, w, _ = guidance.shape
+                          norm_type, has_sparse, interpret,
+                          channels_first=False):
+    b, h, w = sparse.shape
     hp, wp = stash.shape[-2:]
-    guid_t = _pad_hw(jnp.moveaxis(guidance, -1, 1), hp, wp).astype(jnp.float32)
+    guid_t = guidance if channels_first else jnp.moveaxis(guidance, -1, 1)
+    guid_t = _pad_hw(guid_t, hp, wp).astype(jnp.float32)
     sp_p = _pad_hw(sparse, hp, wp).astype(jnp.float32)
     lam_p = _pad_hw(g_out, hp, wp).astype(jnp.float32)
 
@@ -488,7 +494,9 @@ def _cspn_pallas_bwd_impl(guidance, sparse, stash, g_out, num_iters,
             vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(guid_t, sp_p, lam_p, stash)
-    dguid = jnp.moveaxis(dguid[:, :, :h, :w], 1, -1)
+    dguid = dguid[:, :, :h, :w]
+    if not channels_first:
+        dguid = jnp.moveaxis(dguid, 1, -1)
     return dguid, dblur[:, :h, :w], dsparse[:, :h, :w]
 
 
@@ -505,11 +513,12 @@ def _bwd_fits_vmem(h: int, w: int) -> bool:
     return 44 * 4 * h * wp <= _BWD_VMEM_PLANE_BUDGET_BYTES
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _cspn_pallas(guidance, blur, sparse, num_iters, norm_type, has_sparse,
-                 interpret):
+                 interpret, channels_first=False):
     return _cspn_pallas_fwd_impl(
-        guidance, blur, sparse, num_iters, norm_type, has_sparse, interpret)
+        guidance, blur, sparse, num_iters, norm_type, has_sparse, interpret,
+        channels_first)
 
 
 def use_pallas_adjoint() -> bool:
@@ -531,24 +540,26 @@ def use_pallas_adjoint() -> bool:
     return os.environ.get("CSPN_PALLAS_ADJOINT", "1") != "0"
 
 
-def _fwd(guidance, blur, sparse, num_iters, norm_type, has_sparse, interpret):
-    h, w = guidance.shape[1:3]
+def _fwd(guidance, blur, sparse, num_iters, norm_type, has_sparse, interpret,
+         channels_first=False):
+    h, w = blur.shape[1:3]
     if _bwd_fits_vmem(h, w) and use_pallas_adjoint():
         out, stash = _cspn_pallas_stash_fwd(
             guidance, blur, sparse, num_iters, norm_type, has_sparse,
-            interpret)
+            interpret, channels_first)
         return out, (guidance, blur, sparse, stash)
     out = _cspn_pallas(guidance, blur, sparse, num_iters, norm_type,
-                       has_sparse, interpret)
+                       has_sparse, interpret, channels_first)
     return out, (guidance, blur, sparse, None)
 
 
-def _bwd(num_iters, norm_type, has_sparse, interpret, residuals, g_out):
+def _bwd(num_iters, norm_type, has_sparse, interpret, channels_first,
+         residuals, g_out):
     guidance, blur, sparse, stash = residuals
     if stash is not None:
         d_guid, d_blur, d_sparse = _cspn_pallas_bwd_impl(
             guidance, sparse, stash, g_out, num_iters, norm_type,
-            has_sparse, interpret)
+            has_sparse, interpret, channels_first)
         if not has_sparse:
             d_sparse = jnp.zeros_like(sparse)
         return d_guid, d_blur, d_sparse
@@ -556,6 +567,8 @@ def _bwd(num_iters, norm_type, has_sparse, interpret, residuals, g_out):
     # Fallback (shape exceeds the adjoint's VMEM budget, or opted out):
     # the VJP of the jnp lax.scan reference, forward rematerialized.
     def ref(gd, bl, sp):
+        if channels_first:
+            gd = jnp.moveaxis(gd, 1, -1)
         return cspn_propagate_ref(
             gd, bl, sp if has_sparse else None,
             num_iters=num_iters, norm_type=norm_type)
@@ -578,8 +591,14 @@ def cspn_propagate_pallas(
     num_iters: int = 24,
     norm_type: str = "8sum",
     interpret: bool | None = None,
+    guidance_layout: str = "NHWC",
 ) -> jax.Array:
-    """Public fused-kernel entry; same contract as cspn_propagate_ref."""
+    """Public fused-kernel entry; same contract as cspn_propagate_ref.
+
+    guidance_layout "NCHW" accepts plane-major (B, 8, H, W) guidance and
+    skips the entry transpose — the layout the kernel wants, and the one
+    the packed prediction head can emit with a single rearrange
+    (models/cspn_net.py)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     squeeze = blur_depth.ndim == 4
@@ -591,7 +610,7 @@ def cspn_propagate_pallas(
         sp = jnp.zeros_like(d0)
 
     out = _cspn_pallas(guidance, d0, sp, num_iters, norm_type, has_sparse,
-                       interpret)
+                       interpret, guidance_layout == "NCHW")
     out = out.astype(d0.dtype)
     return out[..., None] if squeeze else out
 
@@ -698,12 +717,14 @@ def _tiled_launch(gates9_pad, d, sp_pad, *, iters, k, tile_h, has_sparse,
     )(gates9_pad, d_pad, sp_pad)
 
 
-def _prenorm_gates9(guidance, norm_type: str):
-    """(B, H, W, 8) raw guidance -> (B, 9, H, W) prenormalized
-    [center, 8 neighbors] gates. Pointwise per pixel, XLA-fused — also the
-    function whose jax.vjp supplies the normalization chain rule for the
-    tiled adjoint."""
-    g = jnp.moveaxis(guidance.astype(jnp.float32), -1, 1)  # (B, 8, H, W)
+def _prenorm_gates9(guidance, norm_type: str, channels_first: bool = False):
+    """(B, H, W, 8) raw guidance (or (B, 8, H, W) when channels_first) ->
+    (B, 9, H, W) prenormalized [center, 8 neighbors] gates. Pointwise per
+    pixel, XLA-fused — also the function whose jax.vjp supplies the
+    normalization chain rule for the tiled adjoint."""
+    g = guidance.astype(jnp.float32)
+    if not channels_first:
+        g = jnp.moveaxis(g, -1, 1)                         # (B, 8, H, W)
     if norm_type == "8sum_abs":
         g = jnp.abs(g)
     abs_sum = jnp.sum(jnp.abs(g), axis=1, keepdims=True)
@@ -721,7 +742,7 @@ def _tiled_rounds(num_iters: int, k: int) -> list[int]:
 
 
 def _tiled_pad_inputs(guidance, blur, sparse, norm_type, has_sparse, k,
-                      tile_h):
+                      tile_h, channels_first=False):
     """Shared fwd/bwd preprocessing: W-pad to a lane multiple, prenormalize
     gates, row-pad gates/sparse with [k halo top] + [bottom-fill + k halo].
 
@@ -730,17 +751,19 @@ def _tiled_pad_inputs(guidance, blur, sparse, norm_type, has_sparse, k,
     0 through all iterations — identical to the unsharded op's
     per-iteration zero pad.
     """
-    b, h, w, _ = guidance.shape
+    b, h, w = blur.shape
     ht = -(-h // tile_h) * tile_h           # round H up to a tile multiple
     # Mosaic requires DMA slices of tiled HBM memrefs to be lane-aligned:
     # pad W to a multiple of 128.
     wp = -(-w // 128) * 128
     if wp != w:
-        guidance = jnp.pad(guidance, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+        gpad = (((0, 0), (0, 0), (0, 0), (0, wp - w)) if channels_first
+                else ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+        guidance = jnp.pad(guidance, gpad)
         blur = jnp.pad(blur, ((0, 0), (0, 0), (0, wp - w)))
         sparse = jnp.pad(sparse, ((0, 0), (0, 0), (0, wp - w)))
 
-    gates9 = _prenorm_gates9(guidance, norm_type)
+    gates9 = _prenorm_gates9(guidance, norm_type, channels_first)
     gates9_pad = jnp.pad(gates9, ((0, 0), (0, 0), (k, ht - h + k), (0, 0)))
 
     d = blur.astype(jnp.float32)
@@ -756,10 +779,12 @@ def _tiled_pad_inputs(guidance, blur, sparse, norm_type, has_sparse, k,
 
 def _cspn_pallas_tiled_fwd_impl(guidance, blur, sparse, num_iters: int,
                                 norm_type: str, has_sparse: bool,
-                                interpret: bool, halo_k: int, tile_h: int):
+                                interpret: bool, halo_k: int, tile_h: int,
+                                channels_first: bool = False):
     k = min(halo_k, num_iters)
     gates9_pad, d, sp_pad, _, h, _, _ = _tiled_pad_inputs(
-        guidance, blur, sparse, norm_type, has_sparse, k, tile_h)
+        guidance, blur, sparse, norm_type, has_sparse, k, tile_h,
+        channels_first)
     for r in _tiled_rounds(num_iters, k):
         d = _tiled_launch(gates9_pad, d, sp_pad, iters=r, k=k,
                           tile_h=tile_h, has_sparse=has_sparse,
@@ -922,11 +947,13 @@ def pick_tile_h_bwd(h: int, w: int, halo_k: int,
 
 
 def _cspn_tiled_stash_fwd_impl(guidance, blur, sparse, num_iters, norm_type,
-                               has_sparse, interpret, halo_k):
+                               has_sparse, interpret, halo_k,
+                               channels_first=False):
     k = min(halo_k, num_iters)
     tile_h = pick_tile_h_bwd(blur.shape[1], blur.shape[-1], k)
     gates9_pad, d, sp_pad, _, h, ht, wp = _tiled_pad_inputs(
-        guidance, blur, sparse, norm_type, has_sparse, k, tile_h)
+        guidance, blur, sparse, norm_type, has_sparse, k, tile_h,
+        channels_first)
     n_tiles = ht // tile_h
     # One zero-fill pass (rows never written are the global-border halos,
     # which must read as the zero padding).
@@ -1112,8 +1139,8 @@ def _tiled_bwd_launch(gates9_pad, sp_pad, lam_pad, stash, dg, g0a, dspa, *,
 
 def _cspn_tiled_adjoint_bwd_impl(guidance, blur, sparse, stash, g_out,
                                  num_iters, norm_type, has_sparse,
-                                 interpret, halo_k):
-    b, h, w, _ = guidance.shape
+                                 interpret, halo_k, channels_first=False):
+    b, h, w = blur.shape
     n_tiles, tile_h = stash.shape[2], stash.shape[3] - 8
     k = min(halo_k, num_iters)
     ht = n_tiles * tile_h
@@ -1122,11 +1149,14 @@ def _cspn_tiled_adjoint_bwd_impl(guidance, blur, sparse, stash, g_out,
     guid_wp = guidance
     sp_wp = sparse
     if wp != w:
-        guid_wp = jnp.pad(guidance, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+        gpad = (((0, 0), (0, 0), (0, 0), (0, wp - w)) if channels_first
+                else ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+        guid_wp = jnp.pad(guidance, gpad)
         sp_wp = jnp.pad(sparse, ((0, 0), (0, 0), (0, wp - w)))
 
     gates9, vjp_norm = jax.vjp(
-        functools.partial(_prenorm_gates9, norm_type=norm_type), guid_wp)
+        functools.partial(_prenorm_gates9, norm_type=norm_type,
+                          channels_first=channels_first), guid_wp)
     gates9_pad = jnp.pad(gates9, ((0, 0), (0, 0), (k, ht - h + k), (0, 0)))
     if has_sparse:
         sp_pad = jnp.pad(sp_wp.astype(jnp.float32),
@@ -1157,7 +1187,8 @@ def _cspn_tiled_adjoint_bwd_impl(guidance, blur, sparse, stash, g_out,
     # Pointwise normalization chain rule via XLA.
     dgates9 = jnp.concatenate([g0a[:, None], dg], axis=1)[:, :, :h]
     (d_guid,) = vjp_norm(dgates9)
-    d_guid = d_guid[:, :, :w] if wp != w else d_guid
+    if wp != w:
+        d_guid = (d_guid[..., :w] if channels_first else d_guid[:, :, :w])
     if has_sparse:
         m = (sparse > 0).astype(jnp.float32)
         d_blur = (1.0 - m) * lam0
@@ -1169,34 +1200,36 @@ def _cspn_tiled_adjoint_bwd_impl(guidance, blur, sparse, stash, g_out,
             d_sparse.astype(sparse.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _cspn_pallas_tiled(guidance, blur, sparse, num_iters, norm_type,
-                       has_sparse, interpret, halo_k, tile_h):
+                       has_sparse, interpret, halo_k, tile_h,
+                       channels_first=False):
     return _cspn_pallas_tiled_fwd_impl(
         guidance, blur, sparse, num_iters, norm_type, has_sparse, interpret,
-        halo_k, tile_h)
+        halo_k, tile_h, channels_first)
 
 
 def _tiled_fwd(guidance, blur, sparse, num_iters, norm_type, has_sparse,
-               interpret, halo_k, tile_h):
+               interpret, halo_k, tile_h, channels_first=False):
     if use_pallas_adjoint():
         out, stash = _cspn_tiled_stash_fwd_impl(
             guidance, blur, sparse, num_iters, norm_type, has_sparse,
-            interpret, halo_k)
+            interpret, halo_k, channels_first)
         return out, (guidance, blur, sparse, stash)
     out = _cspn_pallas_tiled(guidance, blur, sparse, num_iters, norm_type,
-                             has_sparse, interpret, halo_k, tile_h)
+                             has_sparse, interpret, halo_k, tile_h,
+                             channels_first)
     return out, (guidance, blur, sparse, None)
 
 
 def _tiled_bwd(num_iters, norm_type, has_sparse, interpret, halo_k, tile_h,
-               residuals, g_out):
+               channels_first, residuals, g_out):
     guidance, blur, sparse, stash = residuals
     if stash is not None:
         return _cspn_tiled_adjoint_bwd_impl(
             guidance, blur, sparse, stash, g_out, num_iters, norm_type,
-            has_sparse, interpret, halo_k)
-    return _bwd(num_iters, norm_type, has_sparse, interpret,
+            has_sparse, interpret, halo_k, channels_first)
+    return _bwd(num_iters, norm_type, has_sparse, interpret, channels_first,
                 (guidance, blur, sparse, None), g_out)
 
 
@@ -1229,11 +1262,13 @@ def cspn_propagate_pallas_tiled(
     halo_k: int = 8,
     tile_h: int | None = None,
     interpret: bool | None = None,
+    guidance_layout: str = "NHWC",
 ) -> jax.Array:
     """Fused-tile CSPN for images beyond the whole-plane VMEM budget.
 
     Same contract as cspn_propagate_ref; numerically identical (the k-row
     recompute halo makes every tile interior exact — tests/test_cspn_pallas.py).
+    guidance_layout "NCHW" accepts plane-major (B, 8, H, W) guidance.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1249,7 +1284,8 @@ def cspn_propagate_pallas_tiled(
     if tile_h is None:
         tile_h = pick_tile_h(h, w, halo_k)
     out = _cspn_pallas_tiled(guidance, d0, sp, num_iters, norm_type,
-                             has_sparse, interpret, halo_k, tile_h)
+                             has_sparse, interpret, halo_k, tile_h,
+                             guidance_layout == "NCHW")
     out = out.astype(d0.dtype)
     return out[..., None] if squeeze else out
 
@@ -1319,6 +1355,207 @@ def _cspn_prenorm_fwd_impl(gates9, d0, sp, num_iters: int, has_sparse: bool,
       sp.astype(jnp.float32))
 
 
+# --- prenorm hand adjoint (stash forward + gather adjoint stencil) -------
+# On a real multi-chip KITTI run the slab backward is the per-shard
+# training hot path; without this it re-runs the jnp scan VJP per shard
+# (the same T x 11-plane traffic the single-chip adjoints eliminate).
+# Simpler than the whole-plane adjoint: gates arrive prenormalized, so
+# there is NO normalization chain rule in-kernel — dL/d(gates9) is
+# returned directly and XLA backprops the pointwise normalization that
+# parallel/halo.py applied outside. d^0 is not anchored (caller anchors),
+# so dL/d(d0) = lambda^0 with no anchor masking.
+
+
+def _cspn_prenorm_stash_kernel(gates9_ref, d_ref, sp_ref, out_ref, stash_ref,
+                               dpad_ref, dcur_ref, sem, *,
+                               num_iters: int, has_sparse: bool):
+    """Forward + stash of each iteration's starting depth plane."""
+    b = pl.program_id(0)
+    h, w = d_ref.shape[1:]
+    gates9 = gates9_ref[0]
+    gate_center, gates = gates9[0], gates9[1:]
+    sp = m = None
+    if has_sparse:
+        sp = sp_ref[0]
+        m = (sp > 0).astype(jnp.float32)
+    dpad_ref[...] = jnp.zeros((h + 2, w + 2), jnp.float32)
+    dpad_ref[1:h + 1, 1:w + 1] = d_ref[0]
+
+    def body(t, carry):
+        dcur_ref[...] = dpad_ref[1:h + 1, 1:w + 1]      # d^t
+        cp = pltpu.make_async_copy(dcur_ref, stash_ref.at[b, t], sem)
+        cp.start()
+        new = _stencil_step(dpad_ref, gate_center, gates, sp, m, h, w,
+                            has_sparse)
+        cp.wait()
+        dpad_ref[1:h + 1, 1:w + 1] = new
+        return carry
+
+    lax.fori_loop(0, num_iters, body, 0, unroll=False)
+    out_ref[0] = dpad_ref[1:h + 1, 1:w + 1]
+
+
+def _cspn_prenorm_stash_fwd(gates9, d0, sp, num_iters, has_sparse,
+                            interpret):
+    """Returns (out (B, H, W), stash (B, T, Hp, Wp))."""
+    b, _, h, w = gates9.shape
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    g_p = _pad_hw(gates9, hp, wp).astype(jnp.float32)
+    d_p = _pad_hw(d0, hp, wp).astype(jnp.float32)
+    sp_p = _pad_hw(sp, hp, wp).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _cspn_prenorm_stash_kernel, num_iters=num_iters,
+        has_sparse=has_sparse)
+    out, stash = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 9, hp, wp), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((b, num_iters, hp, wp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hp + 2, wp + 2), jnp.float32),
+            pltpu.VMEM((hp, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=b * hp * wp * num_iters * 19,
+            bytes_accessed=4 * b * hp * wp * (12 + num_iters),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(g_p, d_p, sp_p)
+    return out[:, :h, :w], stash
+
+
+def _cspn_prenorm_bwd_kernel(gates9_ref, sp_ref, lam_ref, stash_ref,
+                             dg9_ref, dblur_ref, dsp_ref,
+                             gpad_vmem, upad, dpad2, dcur_ref, sem_d, *,
+                             num_iters: int, has_sparse: bool):
+    """Adjoint for one batch element; dg9_ref (1, 9, H, W) doubles as the
+    gradient accumulator (channel 0 = center gate)."""
+    h, w = lam_ref.shape[1:]
+    b = pl.program_id(0)
+
+    om = None
+    if has_sparse:
+        om = 1.0 - (sp_ref[0] > 0).astype(jnp.float32)
+
+    gpad_vmem[...] = jnp.zeros((8, h + 2, w + 2), jnp.float32)
+    for k in range(8):
+        gpad_vmem[k, 1:h + 1, 1:w + 1] = gates9_ref[0, k + 1]
+    gc = gates9_ref[0, 0]
+
+    dg9_ref[...] = jnp.zeros((1, 9, h, w), jnp.float32)
+    dsp_ref[...] = jnp.zeros((1, h, w), jnp.float32)
+    upad[...] = jnp.zeros((h + 2, w + 2), jnp.float32)
+    dpad2[...] = jnp.zeros((h + 2, w + 2), jnp.float32)
+
+    def body(i, lam):
+        t = num_iters - 1 - i
+        cp = pltpu.make_async_copy(stash_ref.at[b, t], dcur_ref, sem_d)
+        cp.start()
+        if has_sparse:
+            lam_u = om * lam
+            dsp_ref[0] += lam - lam_u
+        else:
+            lam_u = lam
+        upad[1:h + 1, 1:w + 1] = lam_u
+        cp.wait()
+        d = dcur_ref[...]                   # d^t
+        dg9_ref[0, 0] += lam_u * d
+        dpad2[1:h + 1, 1:w + 1] = d
+        acc = gc * lam_u
+        for k, (dy, dx) in enumerate(NEIGHBOR_OFFSETS):
+            dg9_ref[0, k + 1] += lam_u * dpad2[1 + dy:1 + dy + h,
+                                               1 + dx:1 + dx + w]
+            k2 = NEIGHBOR_OFFSETS.index((-dy, -dx))
+            acc += (gpad_vmem[k2, 1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+                    * upad[1 + dy:1 + dy + h, 1 + dx:1 + dx + w])
+        return acc
+
+    lam0 = lax.fori_loop(0, num_iters, body, lam_ref[0], unroll=False)
+    dblur_ref[0] = lam0                     # d^0 is not anchored here
+
+
+def _cspn_prenorm_bwd_impl(gates9, sp, stash, g_out, num_iters, has_sparse,
+                           interpret):
+    b, _, h, w = gates9.shape
+    hp, wp = stash.shape[-2:]
+    g_p = _pad_hw(gates9, hp, wp).astype(jnp.float32)
+    sp_p = _pad_hw(sp, hp, wp).astype(jnp.float32)
+    lam_p = _pad_hw(g_out, hp, wp).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _cspn_prenorm_bwd_kernel, num_iters=num_iters,
+        has_sparse=has_sparse)
+    dg9, dblur, dsp = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 9, hp, wp), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),       # stash
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 9, hp, wp), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 9, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((b, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((b, hp, wp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, hp + 2, wp + 2), jnp.float32),  # padded gates
+            pltpu.VMEM((hp + 2, wp + 2), jnp.float32),     # upad
+            pltpu.VMEM((hp + 2, wp + 2), jnp.float32),     # dpad2
+            pltpu.VMEM((hp, wp), jnp.float32),             # dcur
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=b * hp * wp * num_iters * 40,
+            bytes_accessed=4 * b * hp * wp * (22 + num_iters),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(g_p, sp_p, lam_p, stash)
+    return (dg9[:, :, :h, :w], dblur[:, :h, :w], dsp[:, :h, :w])
+
+
+# ~32 planes live (gates block 9 + dg9 block 9 + padded gates 8 + pads +
+# streaming) plus Mosaic stack; same class of budget as the whole-plane
+# adjoint.
+def _prenorm_bwd_fits_vmem(h: int, w: int) -> bool:
+    wp = -(-w // 128) * 128
+    return 44 * 4 * h * wp <= _BWD_VMEM_PLANE_BUDGET_BYTES
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _cspn_prenorm(gates9, d0, sp, num_iters, has_sparse, interpret):
     return _cspn_prenorm_fwd_impl(gates9, d0, sp, num_iters, has_sparse,
@@ -1326,12 +1563,23 @@ def _cspn_prenorm(gates9, d0, sp, num_iters, has_sparse, interpret):
 
 
 def _prenorm_fwd(gates9, d0, sp, num_iters, has_sparse, interpret):
+    h, w = d0.shape[1:3]
+    if _prenorm_bwd_fits_vmem(h, w) and use_pallas_adjoint():
+        out, stash = _cspn_prenorm_stash_fwd(
+            gates9, d0, sp, num_iters, has_sparse, interpret)
+        return out, (gates9, d0, sp, stash)
     out = _cspn_prenorm(gates9, d0, sp, num_iters, has_sparse, interpret)
-    return out, (gates9, d0, sp)
+    return out, (gates9, d0, sp, None)
 
 
 def _prenorm_bwd(num_iters, has_sparse, interpret, residuals, g_out):
-    gates9, d0, sp = residuals
+    gates9, d0, sp, stash = residuals
+    if stash is not None:
+        dg9, dd, dsp = _cspn_prenorm_bwd_impl(
+            gates9, sp, stash, g_out, num_iters, has_sparse, interpret)
+        if not has_sparse:
+            dsp = jnp.zeros_like(sp)
+        return dg9, dd, dsp
 
     def ref(g9, d, s):
         return cspn_propagate_prenorm_ref(

@@ -207,6 +207,62 @@ def test_tiled_scan_vjp_fallback_matches_ref(monkeypatch):
         _assert_close(a, b, rtol=1e-4)
 
 
+@pytest.mark.parametrize("with_sparse", [True, False])
+def test_prenorm_adjoint_matches_ref(with_sparse):
+    """The prenormalized slab kernel's hand adjoint (the spatially-sharded
+    path's backward): dL/d(gates9) is returned directly — no normalization
+    chain rule — and must match jax.vjp of cspn_propagate_prenorm_ref."""
+    from cspn_monodepth_tpu.ops.cspn_pallas import (
+        cspn_propagate_prenorm_pallas,
+    )
+    from cspn_monodepth_tpu.ops.cspn_ref import (
+        cspn_propagate_prenorm_ref,
+        normalize_affinity,
+    )
+
+    guidance, blur, sparse = _problem(jax.random.key(41), 2, 26, 30)
+    gate, gc = normalize_affinity(guidance, "8sum_clamp")
+    gates9 = jnp.moveaxis(jnp.concatenate([gc, gate], -1), -1, 1)
+    sp = sparse if with_sparse else None
+    cot = jax.random.normal(jax.random.key(42), blur.shape, jnp.float32)
+
+    def f_p(g9, d, s):
+        return jnp.vdot(cspn_propagate_prenorm_pallas(
+            g9, d, s, num_iters=11), cot)
+
+    def f_r(g9, d, s):
+        return jnp.vdot(cspn_propagate_prenorm_ref(
+            g9, d, s, num_iters=11), cot)
+
+    argnums = (0, 1) + ((2,) if with_sparse else ())
+    gp = jax.grad(f_p, argnums)(gates9, blur, sp)
+    gr = jax.grad(f_r, argnums)(gates9, blur, sp)
+    for a, b in zip(gp, gr):
+        _assert_close(a, b, rtol=1e-4)
+
+
+def test_prenorm_scan_vjp_fallback_matches_ref(monkeypatch):
+    monkeypatch.setenv("CSPN_PALLAS_ADJOINT", "0")
+    from cspn_monodepth_tpu.ops.cspn_pallas import (
+        cspn_propagate_prenorm_pallas,
+    )
+    from cspn_monodepth_tpu.ops.cspn_ref import (
+        cspn_propagate_prenorm_ref,
+        normalize_affinity,
+    )
+
+    guidance, blur, sparse = _problem(jax.random.key(43), 1, 18, 22)
+    gate, gc = normalize_affinity(guidance, "8sum")
+    gates9 = jnp.moveaxis(jnp.concatenate([gc, gate], -1), -1, 1)
+    cot = jax.random.normal(jax.random.key(44), blur.shape, jnp.float32)
+
+    gp = jax.grad(lambda g: jnp.vdot(cspn_propagate_prenorm_pallas(
+        g, blur, sparse, num_iters=6), cot))(gates9)
+    gr = jax.grad(lambda g: jnp.vdot(cspn_propagate_prenorm_ref(
+        g, blur, sparse, num_iters=6), cot))(gates9)
+    _assert_close(gp, gr, rtol=1e-4)
+
+
 def test_pick_tile_h_budget():
     """Chosen slab planes must fit the stated VMEM budget."""
     for h, w in [(352, 1216), (228, 304), (1024, 2048)]:

@@ -115,6 +115,38 @@ def main():
     print(f"\n{kind} step, batch {args.batch}, {h}x{w}; traced device op "
           f"time {grand:.1f} ms over {args.steps} steps "
           f"(~{grand / args.steps:.1f} ms/step)\n")
+
+    # Category rollup: op names carry the fusion ROOT; classify by the
+    # root op kind + result shape so the flat profile becomes actionable
+    # ("how much is BN-reduce vs conv vs copies" at a glance).
+    def category(name: str) -> str:
+        # classify by the RESULT side only — input operand text routinely
+        # mentions %custom-call / fusion names of other categories.
+        name = name.split(" fusion(")[0].split(" custom-call(")[0]
+        if "custom-call" in name or "CSPNDepthNet" in name:
+            return "cspn custom calls"
+        if name.startswith(("%copy", "%reshape", "%bitcast", "%transpose",
+                            "%slice_bitcast", "%copy_bitcast")):
+            return "layout copies / reshapes"
+        if "convert_reduce_fusion" in name or "multiply_reduce" in name:
+            return "reductions (BN stats/grads, norms)"
+        if "convolution" in name or (" fusion(" in name and (
+                "bf16[3,3," in name or "bf16[5,5," in name
+                or "f32[3,3," in name or "f32[5,5," in name)):
+            return "convolutions (incl. weight grads)"
+        if "multiply_add_fusion" in name:
+            return "optimizer/elementwise chains"
+        if "fusion" in name:
+            return "other fusions (conv/elementwise mix)"
+        return "misc"
+
+    cats = collections.Counter()
+    for name, ms in total.items():
+        cats[category(name)] += ms
+    print(f"{'ms/step':>9} {'%':>5}  category")
+    for c, ms in cats.most_common():
+        print(f"{ms / args.steps:9.3f} {100 * ms / grand:5.1f}  {c}")
+    print()
     print(f"{'ms/step':>9} {'%':>5} {'calls':>6}  op")
     for name, ms in total.most_common(args.top):
         print(f"{ms / args.steps:9.3f} {100 * ms / grand:5.1f} "
