@@ -109,6 +109,42 @@ def pack_conv_kernel(k: jax.Array) -> jax.Array:
     return kp.reshape(3, 3, 4 * cin, 4 * cout)
 
 
+def pack_conv_kernel_w(k: jax.Array) -> jax.Array:
+    """W-only counterpart of pack_conv_kernel: transform a full-resolution
+    SAME-conv kernel (kh, kw, Cin, Cout), kw odd and <= 5, into the
+    (kh, 3, 2*Cin, 2*Cout) kernel applied to the 1x2 W-packed map
+    (columns space-to-depth'd, (px, c)-ordered channel blocks):
+    conv_wpacked(wpack(x), pack_conv_kernel_w(k)) == wpack(conv(x, k)).
+
+    2x the structural MACs of the full-res conv (vs 4x for the 2x2
+    pack_conv_kernel) while still presenting 2*Cin >= 128 lanes to the
+    MXU for the C=64 decoder tail — the sweet spot for conv1b, whose
+    2x2-packed form is FLOP-bound at roofline (r4 xprof)."""
+    kh, kw, cin, cout = k.shape
+    assert kw % 2 == 1 and kw <= 5, (kh, kw)
+    rx = jnp.asarray(_parity_routing(kw), k.dtype)
+    # out[d, v, (r, i), (s, o)]
+    kp = jnp.einsum("vrse,deio->dvriso", rx, k)
+    return kp.reshape(kh, 3, 2 * cin, 2 * cout)
+
+
+def pack22_to_w(x: jax.Array) -> jax.Array:
+    """2x2-packed (B, H/2, W/2, 4C) [py, px, c] -> W-packed full-row-res
+    (B, H, W/2, 2C) [px, c] (one transposed copy; unpacks rows only)."""
+    b, h2, w2, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h2, w2, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, 2 * h2, w2, 2 * c)
+
+
+def w_to_pack22(x: jax.Array) -> jax.Array:
+    """Inverse of pack22_to_w."""
+    b, h, w2, c2 = x.shape
+    c = c2 // 2
+    x = x.reshape(b, h // 2, 2, w2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w2, 4 * c)
+
+
 def _parity_routing_s2(k_size: int):
     """R[u0, s, p, d0] in {0,1}: tap offset d (= d0 - k//2) of a STRIDE-2
     SAME conv maps, for output parity p, onto double-packed input row
@@ -289,10 +325,14 @@ class PackedBatchNorm(nn.Module):
     momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.bfloat16
+    # number of parity blocks in the packed channel dim: 4 for 2x2
+    # space-to-depth, 2 for W-only (1x2) packing.
+    n_blocks: int = 4
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        c = x.shape[-1] // 4
+        nb = self.n_blocks
+        c = x.shape[-1] // nb
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda s: jnp.zeros(s, jnp.float32), (c,))
         ra_var = self.variable("batch_stats", "var",
@@ -300,7 +340,7 @@ class PackedBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         if train:
-            xf = x.astype(jnp.float32).reshape(*x.shape[:-1], 4, c)
+            xf = x.astype(jnp.float32).reshape(*x.shape[:-1], nb, c)
             mean = jnp.mean(xf, axis=(0, 1, 2, 3))
             mean2 = jnp.mean(xf * xf, axis=(0, 1, 2, 3))
             var = jnp.maximum(0.0, mean2 - mean * mean)  # flax fast-variance
@@ -312,9 +352,9 @@ class PackedBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         mul = lax.rsqrt(var + self.epsilon) * scale
         # packed channel order is (parity block, channel) with the channel
-        # minor -> per-packed-channel vectors are 4x tiles
-        y = ((x.astype(jnp.float32) - jnp.tile(mean, 4)) * jnp.tile(mul, 4)
-             + jnp.tile(bias, 4))
+        # minor -> per-packed-channel vectors are n_blocks-fold tiles
+        y = ((x.astype(jnp.float32) - jnp.tile(mean, nb))
+             * jnp.tile(mul, nb) + jnp.tile(bias, nb))
         return y.astype(self.dtype)
 
 
@@ -349,6 +389,13 @@ class PackedUpProjBlock(nn.Module):
 
     channels: int
     dtype: jnp.dtype = jnp.bfloat16
+    # conv1b in W-only packing (2x structural MACs, full lanes) instead of
+    # 2x2 (4x MACs). DEFAULT OFF — measured (r4, v5e, NYU headline): the
+    # halved FLOPs lost to the two row-repack copies and XLA's layout
+    # choices around them, combined 221.8 -> 170.6. The machinery stays
+    # (correct, equivalence-tested) as the starting point if a future
+    # XLA/Mosaic makes the repacks cheap.
+    wpack_conv1b: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, skip: jax.Array | None = None,
@@ -396,11 +443,27 @@ class PackedUpProjBlock(nn.Module):
 
         a = nn.relu(PackedBatchNorm(dtype=self.dtype, name="bn1a")(a, train))
         k1b = _KernelParam((3, 3, ch, ch), name="conv1b")()
-        a = lax.conv_general_dilated(
-            a, pack_conv_kernel(k1b).astype(self.dtype), (1, 1),
-            padding=((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        a = PackedBatchNorm(dtype=self.dtype, name="bn1b")(a, train)
+        if self.wpack_conv1b:
+            # conv1b in W-only (1x2) packing: the 2x2-packed form is
+            # FLOP-bound at roofline paying 4x structural MACs (r4 xprof:
+            # its weight grad alone ~3% of the KITTI train step); the
+            # W-packed kernel pays 2x on the same >= 128-lane layout.
+            # Cost: two cheap repack copies (rows unpack/repack only);
+            # bn1b pools stats across 2 parity blocks (same params).
+            aw = pack22_to_w(a)
+            aw = lax.conv_general_dilated(
+                aw, pack_conv_kernel_w(k1b).astype(self.dtype), (1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            aw = PackedBatchNorm(dtype=self.dtype, n_blocks=2,
+                                 name="bn1b")(aw, train)
+            a = w_to_pack22(aw)
+        else:
+            a = lax.conv_general_dilated(
+                a, pack_conv_kernel(k1b).astype(self.dtype), (1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            a = PackedBatchNorm(dtype=self.dtype, name="bn1b")(a, train)
         c = PackedBatchNorm(dtype=self.dtype, name="bn2")(c, train)
         return nn.relu(a + c)
 

@@ -263,6 +263,21 @@ def test_prenorm_scan_vjp_fallback_matches_ref(monkeypatch):
     _assert_close(gp, gr, rtol=1e-4)
 
 
+def test_dispatcher_guidance_layout_all_impls():
+    """cspn_propagate with guidance_layout="NCHW" (plane-major, the layout
+    the packed head emits) must agree with the NHWC reference through
+    every impl."""
+    from cspn_monodepth_tpu.ops.cspn import cspn_propagate
+
+    guidance, blur, sparse = _problem(jax.random.key(50), 1, 20, 24)
+    g_pm = jnp.moveaxis(guidance, -1, 1)
+    want = cspn_propagate_ref(guidance, blur, sparse, num_iters=6)
+    for impl in ("jnp", "pallas", "pallas_tiled"):
+        got = cspn_propagate(g_pm, blur, sparse, num_iters=6, impl=impl,
+                             guidance_layout="NCHW")
+        _assert_close(got, want, rtol=2e-5)
+
+
 def test_pick_tile_h_budget():
     """Chosen slab planes must fit the stated VMEM budget."""
     for h, w in [(352, 1216), (228, 304), (1024, 2048)]:

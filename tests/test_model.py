@@ -388,3 +388,42 @@ def test_model_packed_stem_indivisible_falls_back():
     out = model.apply(v, x, train=False)
     assert out.shape == (1, 30, 48, 1)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_wpacked_conv1b_equivalence(train):
+    """PackedUpProjBlock(wpack_conv1b=True): conv1b in W-only (1x2)
+    packing — 2x structural MACs on full lanes with row-repack copies —
+    must be numerically equivalent to the 2x2-packed default, with the
+    SAME parameter/batch-stats tree (bn1b pools stats across 2 parity
+    blocks instead of 4; shapes are per real channel either way).
+    Default OFF after measuring a regression on v5e (see the field's
+    docstring); kept correct under test for future re-evaluation."""
+    from cspn_monodepth_tpu.models.unet import PackedUpProjBlock
+
+    x = jax.random.uniform(jax.random.key(5), (2, 10, 12, 24))  # cin=24
+    mk = lambda wp: PackedUpProjBlock(  # noqa: E731
+        16, dtype=jnp.float32, wpack_conv1b=wp)
+    m0, m1 = mk(False), mk(True)
+    v0 = m0.init(jax.random.key(6), x, train=False)
+    v1 = m1.init(jax.random.key(6), x, train=False)
+    assert jax.tree.structure(v0) == jax.tree.structure(v1)
+    for a, b in zip(jax.tree.leaves(v0), jax.tree.leaves(v1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # Randomize every leaf but keep them valid: batch-stats variances must
+    # stay positive or rsqrt produces NaNs that compare vacuously equal.
+    v = jax.tree.map(
+        lambda a: np.abs(np.random.default_rng(7).standard_normal(
+            a.shape)).astype(np.float32) * 0.1 + 0.01, v0)
+    if train:
+        out0, mut0 = m0.apply(v, x, train=True, mutable=["batch_stats"])
+        out1, mut1 = m1.apply(v, x, train=True, mutable=["batch_stats"])
+        for a, b in zip(jax.tree.leaves(mut0), jax.tree.leaves(mut1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-5)
+    else:
+        out0 = m0.apply(v, x, train=False)
+        out1 = m1.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=2e-4, atol=2e-4)
