@@ -343,7 +343,7 @@ def _cspn_bwd_kernel(guid_hbm, sparse_ref, lam_ref, stash_ref,
                     * upad[1 + dy:1 + dy + h, 1 + dx:1 + dx + w])
         return acc
 
-    lam0 = lax.fori_loop(0, num_iters, body, lam_ref[0], unroll=False)
+    lam0 = lax.fori_loop(0, num_iters, body, lam_ref[0], unroll=True)
 
     if has_sparse:
         dbl = om * lam0
@@ -1062,7 +1062,7 @@ def _cspn_tiled_bwd_kernel(gates9_ref, sp_ref, lam_ref, stash_ref,
         lam_vmem[...] = acc
         return carry
 
-    lax.fori_loop(0, iters, body, 0, unroll=False)
+    lax.fori_loop(0, iters, body, 0, unroll=True)
 
     lamo_ref[0] = lam_vmem[k:k + tile_h]
     cp1 = pltpu.make_async_copy(
@@ -1490,7 +1490,7 @@ def _cspn_prenorm_bwd_kernel(gates9_ref, sp_ref, lam_ref, stash_ref,
                     * upad[1 + dy:1 + dy + h, 1 + dx:1 + dx + w])
         return acc
 
-    lam0 = lax.fori_loop(0, num_iters, body, lam_ref[0], unroll=False)
+    lam0 = lax.fori_loop(0, num_iters, body, lam_ref[0], unroll=True)
     dblur_ref[0] = lam0                     # d^0 is not anchored here
 
 
