@@ -229,3 +229,42 @@ def test_halo_exchange_count_matches_amortization_math(halo_k, num_iters):
             g, d, None, mesh=mesh, num_iters=num_iters, halo_k=halo_k),
         guidance, blur)
     assert n_dense == 2 * (1 + rounds), (n_dense, rounds)
+
+
+def test_spatial_train_step_with_fused_slab_kernel(tmp_path):
+    """The FULL train step through the (data=2, spatial=4) mesh with the
+    spatially-sharded CSPN running the fused Pallas slab kernel and its
+    prenorm hand adjoint (cspn_impl=auto -> impl=auto picks pallas for
+    VMEM-fitting slabs; interpret mode on this CPU mesh). Loss must match
+    the jnp slab body on the same batch — the N2+N5 composition inside
+    the real Trainer, gradients included."""
+    from cspn_monodepth_tpu.configs import get_config
+    from cspn_monodepth_tpu.train.loop import Trainer
+
+    h, w = 64, 48
+    base = get_config("kitti_1216").override(**{
+        "data.dataset": "synthetic", "data.height": h, "data.width": w,
+        "data.num_samples": 40, "data.num_workers": 2,
+        "model.arch": "", "model.encoder_stages": (1, 1, 1, 1),
+        "model.encoder_width": 16,
+        "model.decoder_channels": (32, 24, 16, 16), "model.decoder_out": 16,
+        "model.dtype": "float32", "model.num_iters": 6,
+        "train.batch_size": 2,
+        "train.checkpoint_dir": str(tmp_path),
+        "mesh.data": 2, "mesh.spatial": 4,
+    })
+    rng_np = np.random.default_rng(1)
+    batch = {
+        "rgb": rng_np.random((2, h, w, 3), dtype=np.float32),
+        "depth": rng_np.uniform(0.5, 9.5, (2, h, w)).astype(np.float32),
+    }
+    losses = {}
+    for impl in ("jnp", "auto"):
+        cfg = base.override(**{"model.cspn_impl": impl})
+        tr = Trainer(cfg, workdir=str(tmp_path / impl))
+        state = tr.init_state()
+        rng = jax.device_put(jax.random.key(0), tr._rep)
+        _, loss, _ = tr.train_step(state, batch, rng)
+        assert np.isfinite(float(loss)), impl
+        losses[impl] = float(loss)
+    np.testing.assert_allclose(losses["auto"], losses["jnp"], rtol=1e-5)
