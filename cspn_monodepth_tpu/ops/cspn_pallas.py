@@ -949,7 +949,14 @@ def pick_tile_h_bwd(h: int, w: int, halo_k: int,
 def _cspn_tiled_stash_fwd_impl(guidance, blur, sparse, num_iters, norm_type,
                                has_sparse, interpret, halo_k,
                                channels_first=False):
-    k = min(halo_k, num_iters)
+    # The adjoint path clamps its halo at 8: the r4 sweep measured k=12
+    # best for the FWD-ONLY kernel (3.90 -> 3.50 ms at KITTI) but k=8
+    # best for the stash-fwd + reverse-sweep pair (11.95 vs 12.12 ms) —
+    # the backward's smaller tiles and larger lambda halos eat the fwd
+    # gain. The bwd impl below makes the same choice (its iteration
+    # grouping is independent of the forward's, so consistency is not
+    # required for correctness — only each side's own k/tile math).
+    k = min(halo_k, num_iters, 8)
     tile_h = pick_tile_h_bwd(blur.shape[1], blur.shape[-1], k)
     gates9_pad, d, sp_pad, _, h, ht, wp = _tiled_pad_inputs(
         guidance, blur, sparse, norm_type, has_sparse, k, tile_h,
@@ -1142,7 +1149,7 @@ def _cspn_tiled_adjoint_bwd_impl(guidance, blur, sparse, stash, g_out,
                                  interpret, halo_k, channels_first=False):
     b, h, w = blur.shape
     n_tiles, tile_h = stash.shape[2], stash.shape[3] - 8
-    k = min(halo_k, num_iters)
+    k = min(halo_k, num_iters, 8)   # see _cspn_tiled_stash_fwd_impl
     ht = n_tiles * tile_h
     wp = stash.shape[-1]
 
@@ -1259,7 +1266,7 @@ def cspn_propagate_pallas_tiled(
     *,
     num_iters: int = 24,
     norm_type: str = "8sum",
-    halo_k: int = 8,
+    halo_k: int = 12,
     tile_h: int | None = None,
     interpret: bool | None = None,
     guidance_layout: str = "NHWC",
@@ -1272,6 +1279,11 @@ def cspn_propagate_pallas_tiled(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if not interpret:
+        # Mosaic DMA slices must be sublane-aligned: the slab height
+        # tile_h + 2k must divide by 8, so on the compiled path halo_k is
+        # rounded up to a multiple of 4 (tile_h is always a multiple of 8).
+        halo_k = -(-halo_k // 4) * 4
     squeeze = blur_depth.ndim == 4
     d0 = blur_depth[..., 0] if squeeze else blur_depth
     has_sparse = sparse_depth is not None
