@@ -781,7 +781,12 @@ def _cspn_pallas_tiled_fwd_impl(guidance, blur, sparse, num_iters: int,
                                 norm_type: str, has_sparse: bool,
                                 interpret: bool, halo_k: int, tile_h: int,
                                 channels_first: bool = False):
-    k = min(halo_k, num_iters)
+    # Round the clamped halo back up to a multiple of 4: the min against
+    # num_iters can undo the public entry's rounding (e.g. num_iters=6),
+    # and slab = tile_h + 2k must stay sublane-aligned for the Mosaic
+    # DMAs. A halo larger than the per-launch iteration count is still
+    # exact — it only wastes recompute rows.
+    k = -(-min(halo_k, num_iters) // 4) * 4
     gates9_pad, d, sp_pad, _, h, _, _ = _tiled_pad_inputs(
         guidance, blur, sparse, norm_type, has_sparse, k, tile_h,
         channels_first)
@@ -956,7 +961,11 @@ def _cspn_tiled_stash_fwd_impl(guidance, blur, sparse, num_iters, norm_type,
     # gain. The bwd impl below makes the same choice (its iteration
     # grouping is independent of the forward's, so consistency is not
     # required for correctness — only each side's own k/tile math).
-    k = min(halo_k, num_iters, 8)
+    # Rounded back up to a multiple of 4 after the num_iters clamp (slab
+    # sublane alignment; same reasoning as _cspn_pallas_tiled_fwd_impl) —
+    # and the adjoint bwd impl must compute the identical k, because the
+    # stash layout (tile_h via pick_tile_h_bwd) depends on it.
+    k = -(-min(halo_k, num_iters, 8) // 4) * 4
     tile_h = pick_tile_h_bwd(blur.shape[1], blur.shape[-1], k)
     gates9_pad, d, sp_pad, _, h, ht, wp = _tiled_pad_inputs(
         guidance, blur, sparse, norm_type, has_sparse, k, tile_h,
@@ -1149,7 +1158,8 @@ def _cspn_tiled_adjoint_bwd_impl(guidance, blur, sparse, stash, g_out,
                                  interpret, halo_k, channels_first=False):
     b, h, w = blur.shape
     n_tiles, tile_h = stash.shape[2], stash.shape[3] - 8
-    k = min(halo_k, num_iters, 8)   # see _cspn_tiled_stash_fwd_impl
+    # MUST match _cspn_tiled_stash_fwd_impl's k exactly (stash layout).
+    k = -(-min(halo_k, num_iters, 8) // 4) * 4
     ht = n_tiles * tile_h
     wp = stash.shape[-1]
 
@@ -1276,6 +1286,12 @@ def cspn_propagate_pallas_tiled(
     Same contract as cspn_propagate_ref; numerically identical (the k-row
     recompute halo makes every tile interior exact — tests/test_cspn_pallas.py).
     guidance_layout "NCHW" accepts plane-major (B, 8, H, W) guidance.
+
+    tile_h tunes the INFERENCE / fallback forward only: when the Pallas
+    adjoint is enabled (default), any differentiated call routes to the
+    stash forward, which sizes its own tiles via pick_tile_h_bwd so the
+    backward's larger VMEM working set (gates + accumulators + stash
+    streams) fits its budget — a caller-supplied tile_h is ignored there.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -100,9 +100,20 @@ def cspn_propagate_spatial(
 
     halo_k = min(halo_k, num_iters)
     n_spatial = mesh.shape["spatial"]
-    h = d0.shape[1]
-    assert h % n_spatial == 0, (
-        f"H={h} must divide the spatial axis ({n_spatial}); pad the input")
+    h_in = d0.shape[1]
+    # Non-divisible H (SURVEY.md §8 hard parts: NYU 228 on a spatial=8
+    # mesh): zero-pad H up to the next shard multiple and crop on exit.
+    # Zero guidance rows normalize to zero neighbor gates (center gate
+    # absorbs the slack), so padded rows hold exactly 0 through every
+    # iteration and the last real row reads 0 from them — identical to
+    # the unsharded op's zero border (tests/test_sharding.py).
+    h = -(-h_in // n_spatial) * n_spatial
+    if h != h_in:
+        guidance = jnp.pad(
+            guidance, ((0, 0), (0, h - h_in), (0, 0), (0, 0)))
+        d0 = jnp.pad(d0, ((0, 0), (0, h - h_in), (0, 0)))
+        if sp is not None:
+            sp = jnp.pad(sp, ((0, 0), (0, h - h_in), (0, 0)))
     assert h // n_spatial >= halo_k, (
         f"halo_k={halo_k} exceeds local shard height {h // n_spatial}; "
         "halos only reach the immediate neighbor")
@@ -173,4 +184,5 @@ def cspn_propagate_spatial(
             sharded, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
             check_vma=False)
         out = fn(guidance, d0, sp)
+    out = out[:, :h_in]
     return out[..., None] if squeeze else out

@@ -382,11 +382,14 @@ class Trainer:
             sums = sums + s
             if i == 0:
                 n_warm = float(jax.device_get(sums.n_images))
-                t_warm = time.time()
                 if save_panels and jax.process_index() == 0:
                     self._save_panel(
                         {k: np.asarray(jax.device_get(v))
                          for k, v in batch.items()}, pred, epoch)
+                # Fence AFTER the one-time panel host work (device_get of
+                # the whole batch + PNG encode) so that cost is charged to
+                # warm-up, not the steady-state throughput window.
+                t_warm = time.time()
         it.close()
         metrics = finalize_metrics(sums)
         steady_images = metrics["n_images"] - n_warm

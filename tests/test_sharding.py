@@ -104,6 +104,49 @@ def test_spatial_sharded_grads_match(impl):
                                rtol=rtol, atol=atol)
 
 
+@pytest.mark.parametrize("impl", ["jnp", "pallas"])
+@pytest.mark.parametrize("h,n_spatial", [(29, 4), (228, 8)])
+def test_spatial_auto_pads_non_divisible_h(h, n_spatial, impl):
+    """SURVEY.md §8 hard parts: H not divisible by the shard count (NYU
+    228 on a spatial=8 mesh) must zero-pad + crop, matching the unsharded
+    op exactly — no assert, no caller-side padding."""
+    mesh = make_mesh(MeshConfig(data=8 // n_spatial, spatial=n_spatial))
+    guidance, blur, sparse = _problem(jax.random.key(5), b=2, h=h, w=24)
+
+    want = cspn_propagate_ref(guidance, blur, sparse, num_iters=6)
+    got = cspn_propagate_spatial(
+        guidance, blur, sparse, mesh=mesh, num_iters=6, halo_k=2,
+        impl=impl)
+    assert got.shape == want.shape
+    tol = 2e-5 if impl == "jnp" else 2e-4
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=tol, atol=tol)
+
+
+def test_spatial_auto_pad_grads_match():
+    """Gradients through the auto-padded path (pad + crop are linear, so
+    the VJP must still match the unsharded reference)."""
+    mesh = make_mesh(MeshConfig(data=2, spatial=4))
+    guidance, blur, sparse = _problem(jax.random.key(6), b=2, h=21, w=16)
+
+    def loss_single(g, d):
+        return jnp.sum(cspn_propagate_ref(g, d, sparse, num_iters=6) ** 2)
+
+    def loss_sharded(g, d):
+        return jnp.sum(cspn_propagate_spatial(
+            g, d, sparse, mesh=mesh, num_iters=6, halo_k=2) ** 2)
+
+    gg1, gd1 = jax.grad(loss_single, argnums=(0, 1))(guidance, blur)
+    gg2, gd2 = jax.jit(jax.grad(loss_sharded, argnums=(0, 1)))(
+        guidance, blur)
+    # atol covers near-zero elements whose f32 summation order shifts
+    # through the pad/crop (values run ~1e2; 4/5376 elements at ~8e-5).
+    np.testing.assert_allclose(np.asarray(gg2), np.asarray(gg1),
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gd2), np.asarray(gd1),
+                               rtol=1e-4, atol=2e-4)
+
+
 def test_dp_loss_and_grad_match_single_device():
     """Data-parallel masked loss / grads == single-device on same batch."""
     mesh = make_mesh(MeshConfig(data=8, spatial=1))
