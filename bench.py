@@ -50,25 +50,51 @@ def main():
     n_chain = int(os.environ.get("BENCH_ITERS", "10"))
 
     # Gradient-parity gate (SURVEY.md §5.2-3): the bench numbers depend on
-    # the Pallas CSPN kernel + its hand adjoint every step, and the CPU
-    # test suite only covers them in interpret mode. Compile-and-assert
+    # the Pallas CSPN kernels + their hand adjoints every step, and the
+    # CPU test suite only covers them in interpret mode. Compile-and-assert
     # parity on this backend BEFORE timing, and embed the errors in the
-    # recorded JSON so every BENCH_r*.json archives the check. Opt out
-    # with BENCH_PARITY=0 (e.g. for quick smoke runs).
+    # recorded JSON so every BENCH_r*.json archives the check. The gate is
+    # keyed to the config so it checks the kernels the timed numbers
+    # actually route to: NYU -> whole-plane kernel + adjoint at 228x304;
+    # KITTI -> H-tiled kernel + tiled adjoint at 352x1216. Both also
+    # compile the PRENORM slab kernel + prenorm adjoint (the per-shard hot
+    # path of a real multi-chip run, otherwise interpret-only) and assert
+    # the VMEM-budget routing decisions (free, pure Python). Opt out with
+    # BENCH_PARITY=0 (e.g. for quick smoke runs).
+    config_name = os.environ.get("BENCH_CONFIG", "nyu_completion_500")
     parity = None
     if (os.environ.get("BENCH_PARITY", "1") != "0"
             and jax.default_backend() not in ("cpu",)):
-        from cspn_monodepth_tpu.ops.parity import cspn_parity_check
+        from cspn_monodepth_tpu.ops.parity import (
+            cspn_parity_check,
+            prenorm_parity_check,
+            vmem_routing_check,
+        )
 
-        # Two norms keep the cold-cache compile cost bounded: 8sum_clamp
-        # is the training default (exercises the hand adjoint the train
-        # numbers depend on), 8sum_abs the absolute-scale control. The
-        # full 3-norm + tiled-kernel check is tools/tpu_parity_check.py.
-        parity = cspn_parity_check(norms=("8sum_clamp", "8sum_abs"), batch=2)
+        parity = {"vmem_routing": vmem_routing_check()}
+        if "kitti" in config_name:
+            from cspn_monodepth_tpu.ops.cspn_pallas import (
+                cspn_propagate_pallas_tiled)
+
+            parity["tiled_352x1216"] = cspn_parity_check(
+                norms=("8sum_clamp",), batch=2, h=352, w=1216,
+                op=cspn_propagate_pallas_tiled)
+            # KITTI 4-way-spatial slab: 352/4 interior + 2*8 halo rows.
+            parity["prenorm_104x1216"] = prenorm_parity_check(
+                batch=2, h=104, w=1216, num_iters=8)
+        else:
+            # Two norms keep the cold-cache compile cost bounded:
+            # 8sum_clamp is the training default (exercises the hand
+            # adjoint the train numbers depend on), 8sum_abs the
+            # absolute-scale control. The full 3-norm sweep is
+            # tools/tpu_parity_check.py.
+            parity["whole_plane_228x304"] = cspn_parity_check(
+                norms=("8sum_clamp", "8sum_abs"), batch=2)
+            parity["prenorm_96x304"] = prenorm_parity_check(
+                batch=2, h=96, w=304, num_iters=8)
     # BENCH_CONFIG selects any named config (e.g. kitti_1216); the mesh is
     # clamped to the available devices so the KITTI config's 2x4 mesh runs
     # single-chip (spatial sharding itself is covered by tests/CPU mesh).
-    config_name = os.environ.get("BENCH_CONFIG", "nyu_completion_500")
     n_dev = jax.device_count()
     cfg = get_config(config_name).override(**{
         "data.dataset": "synthetic",     # bench feeds random tensors anyway
@@ -91,14 +117,24 @@ def main():
     }
     rng = jax.device_put(jax.random.key(0), trainer._rep)
 
+    # Fold EVERY leaf of the on-device metric sums into the timed carry:
+    # a chain that drops them lets XLA dead-code-eliminate the RMSE/MAE/
+    # REL/delta reductions the real train and eval loops pay every step,
+    # silently inflating the recorded number — the same DCE failure mode
+    # that once deleted the hand adjoint from a microbenchmark
+    # (docs/ARCHITECTURE.md "kernel design"). 1e-12 keeps the consumed
+    # value numerically irrelevant without being a zero XLA could fold.
+    def consume_sums(sums):
+        return sum(jnp.sum(x) for x in jax.tree.leaves(sums)) * 1e-12
+
     # --- train chain: serial full train steps (fwd+bwd+update+metrics)
     def make_train_chain(length):
         @jax.jit
         def train_chain(state, b, r):
             def body(st, i):
-                st, loss, _ = trainer.train_step_fn(
+                st, loss, sums = trainer.train_step_fn(
                     st, b, jax.random.fold_in(r, i))
-                return st, loss
+                return st, loss + consume_sums(sums)
             st, losses = jax.lax.scan(body, state, jnp.arange(length))
             return st, losses[-1]
         return train_chain
@@ -149,8 +185,9 @@ def main():
         def infer_chain(state, b, r):
             def body(acc, i):
                 sums, pred = trainer.eval_step_fn(state, b, r, i)
-                # serial dependence: fold the previous output into the acc
-                return acc + jnp.mean(pred) * 1e-9, sums.n_pixels
+                # serial dependence: fold the previous output into the
+                # acc; consume the full metric sums (see consume_sums).
+                return acc + jnp.mean(pred) * 1e-9 + consume_sums(sums), ()
             acc, _ = jax.lax.scan(body, 0.0, jnp.arange(length))
             return acc
         return infer_chain

@@ -935,16 +935,35 @@ def _tiled_stash_launch(gates9_pad, d, sp_pad, stash, *, iters, t0, k,
     )(gates9_pad, d_pad, sp_pad, stash)
 
 
+def _tiled_bwd_k(halo_k: int, num_iters: int) -> int:
+    """Halo for the stash-fwd + tiled-adjoint PAIR — must be computed
+    identically on both sides (the stash layout depends on it via
+    pick_tile_h_bwd). Clamped at 8 by default (the r4/r5 sweeps: k=12 is
+    best for the fwd-only kernel but the pair's smaller tiles and larger
+    lambda halos eat the gain); CSPN_TILED_BWD_K overrides for sweeps
+    (tools/sweep_tiled_adjoint.py). Rounded to a multiple of 4 for slab
+    sublane alignment."""
+    import os
+
+    cap = int(os.environ.get("CSPN_TILED_BWD_K", "8"))
+    return -(-min(halo_k, num_iters, cap) // 4) * 4
+
+
 def pick_tile_h_bwd(h: int, w: int, halo_k: int,
-                    vmem_budget_bytes: int = 12 * 1024 * 1024) -> int:
+                    vmem_budget_bytes: int | None = None) -> int:
     """Tile height for the tiled adjoint (shared by its stash forward).
 
     Explicit scratch ≈ 34*tile_h + 40*k rows of (w_padded + 2) f32 lanes
     (gates slab x9 + padded gates x8 + lambda/sparse slabs + padded
     lambda/d planes + 8-plane gradient accumulator + small planes), plus
     ~30% Mosaic stack temporaries — budgeted against 12 MiB under the
-    raised 32 MiB scoped-vmem cap. Multiple of 8 (output block sublane
-    constraint)."""
+    raised 32 MiB scoped-vmem cap (CSPN_TILED_BWD_BUDGET_MB overrides for
+    sweeps). Multiple of 8 (output block sublane constraint)."""
+    if vmem_budget_bytes is None:
+        import os
+
+        vmem_budget_bytes = int(os.environ.get(
+            "CSPN_TILED_BWD_BUDGET_MB", "12")) * 1024 * 1024
     wp = -(-w // 128) * 128
     rows = vmem_budget_bytes // (4 * (wp + 2))
     tile = (rows - 40 * halo_k - 24) // 34 // 8 * 8
@@ -961,11 +980,7 @@ def _cspn_tiled_stash_fwd_impl(guidance, blur, sparse, num_iters, norm_type,
     # gain. The bwd impl below makes the same choice (its iteration
     # grouping is independent of the forward's, so consistency is not
     # required for correctness — only each side's own k/tile math).
-    # Rounded back up to a multiple of 4 after the num_iters clamp (slab
-    # sublane alignment; same reasoning as _cspn_pallas_tiled_fwd_impl) —
-    # and the adjoint bwd impl must compute the identical k, because the
-    # stash layout (tile_h via pick_tile_h_bwd) depends on it.
-    k = -(-min(halo_k, num_iters, 8) // 4) * 4
+    k = _tiled_bwd_k(halo_k, num_iters)
     tile_h = pick_tile_h_bwd(blur.shape[1], blur.shape[-1], k)
     gates9_pad, d, sp_pad, _, h, ht, wp = _tiled_pad_inputs(
         guidance, blur, sparse, norm_type, has_sparse, k, tile_h,
@@ -1159,7 +1174,7 @@ def _cspn_tiled_adjoint_bwd_impl(guidance, blur, sparse, stash, g_out,
     b, h, w = blur.shape
     n_tiles, tile_h = stash.shape[2], stash.shape[3] - 8
     # MUST match _cspn_tiled_stash_fwd_impl's k exactly (stash layout).
-    k = -(-min(halo_k, num_iters, 8) // 4) * 4
+    k = _tiled_bwd_k(halo_k, num_iters)
     ht = n_tiles * tile_h
     wp = stash.shape[-1]
 

@@ -36,13 +36,18 @@ assert cp.use_pallas_adjoint(), "set CSPN_PALLAS_ADJOINT=1 for this check"
 results = {}
 
 # --- 1. routing decisions (pure Python, no compile) ---------------------
-assert cp._bwd_fits_vmem(228, 304), "headline shape must take the adjoint"
+# Shared with the bench gate: bench.py runs vmem_routing_check before
+# every timed run, so a budget regression fails the bench, not a future
+# debugging session.
+from cspn_monodepth_tpu.ops.parity import (  # noqa: E402
+    prenorm_parity_check,
+    vmem_routing_check,
+)
+
 OVER_H, OVER_W = 320, 512            # 164k px: fwd fits (10MB/13-plane
                                      # budget ~201k px), bwd does not
                                      # (26MB/44-plane budget ~155k px)
-assert not cp._bwd_fits_vmem(OVER_H, OVER_W), \
-    "over-budget probe shape unexpectedly fits; update OVER_H/OVER_W"
-results["routing"] = {"headline_adjoint": True, "over_budget_fallback": True}
+results["routing"] = vmem_routing_check()
 
 
 def _grad_check(h, w, op, label, tol=5e-4):
@@ -81,6 +86,10 @@ assert res[3] is None, "over-budget shape must carry no stash residual"
 _grad_check(OVER_H, OVER_W, cp.cspn_propagate_pallas, "over_budget_fallback")
 # KITTI-class: the tiled adjoint (its own VMEM sizing via pick_tile_h_bwd).
 _grad_check(352, 1216, cp.cspn_propagate_pallas_tiled, "kitti_tiled_adjoint")
+# Prenorm slab kernel + prenorm adjoint at the KITTI 4-shard slab shape
+# (the multi-chip per-shard hot path; its own 26 MiB-class budget at
+# _prenorm_bwd_fits_vmem).
+results["kitti_slab_prenorm"] = prenorm_parity_check(batch=2, h=104, w=1216)
 
 print(json.dumps(results, indent=1))
 print("VMEM guard OK")
