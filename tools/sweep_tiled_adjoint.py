@@ -25,8 +25,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Default grid chosen by tile arithmetic at H=352, W=1216 (pick_tile_h_bwd):
+#   (8, 12) -> tile 64 (the shipped r4 point, 6 tiles, pad 384)
+#   (8, 16) -> tile 88 (EXACT 4 tiles of 352, zero pad rows)
+#   (8, 30) -> tile 176 (exact 2 tiles; may OOM the 32 MiB scoped cap —
+#              an error here is a data point)
+#   (12, 16) / (12, 12) / (4, 12) -> halo sensitivity around the winner
 COMBOS = [tuple(int(v) for v in a.split(":")) for a in sys.argv[1:]] or [
-    (8, 12), (8, 16), (8, 20), (12, 12), (12, 16), (4, 12)]
+    (8, 12), (8, 16), (8, 30), (12, 12), (12, 16), (4, 12)]
 
 b, h, w, T = 8, 352, 1216, 24
 rng = np.random.default_rng(0)
