@@ -956,14 +956,20 @@ def pick_tile_h_bwd(h: int, w: int, halo_k: int,
     Explicit scratch ≈ 34*tile_h + 40*k rows of (w_padded + 2) f32 lanes
     (gates slab x9 + padded gates x8 + lambda/sparse slabs + padded
     lambda/d planes + 8-plane gradient accumulator + small planes), plus
-    ~30% Mosaic stack temporaries — budgeted against 12 MiB under the
+    ~30% Mosaic stack temporaries — budgeted against 16 MiB under the
     raised 32 MiB scoped-vmem cap (CSPN_TILED_BWD_BUDGET_MB overrides for
-    sweeps). Multiple of 8 (output block sublane constraint)."""
+    sweeps). Multiple of 8 (output block sublane constraint).
+
+    The 16 MiB default is the r5 sweep winner (tools/sweep_tiled_adjoint
+    .py, KITTI 8x352x1216 T=24 fwd+full-bwd): tile 80 at 11.6-11.9 ms vs
+    tile 56 at 12.2 ms for the old 12 MiB budget; 30 MiB (tile 168) fails
+    TPU compilation outright, so the surface is a shallow bowl with its
+    measured optimum here. k (8 vs 12) is within noise at this budget."""
     if vmem_budget_bytes is None:
         import os
 
         vmem_budget_bytes = int(os.environ.get(
-            "CSPN_TILED_BWD_BUDGET_MB", "12")) * 1024 * 1024
+            "CSPN_TILED_BWD_BUDGET_MB", "16")) * 1024 * 1024
     wp = -(-w // 128) * 128
     rows = vmem_budget_bytes // (4 * (wp + 2))
     tile = (rows - 40 * halo_k - 24) // 34 // 8 * 8
