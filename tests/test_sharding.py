@@ -218,6 +218,20 @@ def test_kitti_class_spatial_full_train_step(tmp_path):
                                rtol=1e-4)
 
 
+def test_parity_helpers_run_on_cpu():
+    """Keep the bench's parity plumbing under CI: the routing asserts are
+    backend-independent, and the prenorm parity check must execute (in
+    interpret mode here; bench.py compiles it on the real chip)."""
+    from cspn_monodepth_tpu.ops.parity import (
+        prenorm_parity_check,
+        vmem_routing_check,
+    )
+
+    assert all(vmem_routing_check().values())
+    res = prenorm_parity_check(batch=1, h=16, w=32, num_iters=4)
+    assert res["fwd_maxrel"] < 2e-5 and res["grad_maxrel"] < 2e-4
+
+
 def test_shard_batch_utility():
     mesh = make_mesh(MeshConfig(data=4, spatial=2))
     batch = {"rgb": np.ones((8, 16, 16, 3), np.float32),
